@@ -1,0 +1,353 @@
+"""Graph / clustering operators (SURVEY.md §2.9 — the heart of the engine).
+
+- ``connected_components``: iterative **large-star / small-star** (Kiveris et
+  al., "Connected Components in MapReduce and Beyond", SoCC'14) over a
+  DataFrame edge list.  O(log n) rounds; each round is two groupBy-join
+  passes; lineage is truncated every round with ``localCheckpoint``.
+  The reference reaches CC through splink's duckdb label propagation
+  (steps/splink/splink_links_to_clusters.py:37-51) and networkx
+  (steps/cascading/one_to_many_links_to_clusters.py:84-100) — both
+  single-node; this kernel is the distributed replacement.
+- ``links_to_clusters``: G1/G2 — threshold links, CC, stable cluster ids.
+  Records NOT involved in an accepted link are excluded (the reference's
+  explicit semantic, one_to_many_links_to_clusters.py:80-83 comment).
+- ``clusters_to_links``: J2 — within-cluster pair expansion at P=1.
+- ``update_clusters``: G3 — merge known+new cluster assignments through a
+  bipartite record<->cluster-marker graph (cheaper than the reference's
+  pairwise within-cluster edge expansion,
+  update_clusters_by_connected_components.py:60-114: O(n) edges vs O(n^2)).
+- ``one_to_many_links_to_clusters``: G6/A3/J6 — at most one accepted link
+  per left record into a no-duplicates dataset, tie drop/highest-id.
+- ``exclude_clustered`` / ``remove_records``: P6/J7 + P5 — cascading
+  working-set reduction.
+
+Cluster IDs are **stable**: Cluster ID := min record key in the component
+(a pure function of the partition — identical across runs, seeds, and
+parallelism levels; SURVEY §7.4.5), never monotonically_increasing_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from easylink_spark.contracts import (
+    CLUSTER_ID,
+    INPUT_RECORD_DATASET,
+    INPUT_RECORD_ID,
+    LEFT_DATASET,
+    LEFT_ID,
+    PROBABILITY,
+    RIGHT_DATASET,
+    RIGHT_ID,
+    record_key,
+    split_record_key,
+    validate_clusters,
+    validate_ids_to_remove,
+)
+
+SRC, DST = "src", "dst"
+
+
+# ---------------------------------------------------------------------------
+# Connected components: large-star / small-star fixpoint (G1)
+# ---------------------------------------------------------------------------
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: emit (v, min(N(u) ∪ {u})) for every neighbor v > u."""
+    bi = edges.select(SRC, DST).union(
+        edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+    )
+    nbr_min = bi.groupBy(SRC).agg(F.min(DST).alias("_m"))
+    return (
+        bi.filter(F.col(DST) > F.col(SRC))
+        .join(nbr_min, SRC)
+        .select(
+            F.col(DST).alias(SRC),
+            F.least(F.col("_m"), F.col(SRC)).alias(DST),
+        )
+        .filter(F.col(SRC) != F.col(DST))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Direct edges large->small; for each u: m = min(N_small(u) ∪ {u});
+    emit (v, m) for v in N_small(u) ∪ {u}, minus self-loops."""
+    directed = edges.select(
+        F.greatest(SRC, DST).alias(SRC), F.least(SRC, DST).alias(DST)
+    ).filter(F.col(SRC) != F.col(DST))
+    nbr_min = directed.groupBy(SRC).agg(F.min(DST).alias("_m"))
+    to_nbrs = directed.join(nbr_min, SRC).select(
+        F.col(DST).alias(SRC), F.col("_m").alias(DST)
+    )
+    to_self = nbr_min.select(F.col(SRC), F.col("_m").alias(DST))
+    return (
+        to_nbrs.union(to_self)
+        .filter(F.col(SRC) != F.col(DST))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = SRC,
+    dst: str = DST,
+    max_iter: int = 50,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Edge list (any orientation, string node ids) -> (node, component)
+    where component = min node id in the component (total order = string
+    order).  Nodes with no edges do not appear (callers decide singleton
+    semantics, G4).
+
+    Fixpoint detection: (edge count, xor-style hash checksum) stable across
+    a large-star+small-star round.  Every round the result is
+    localCheckpoint-ed to truncate lineage (SURVEY §4.2.2); on a real
+    cluster with a checkpoint dir configured, ``DataFrame.checkpoint`` is
+    the durable alternative.
+    """
+    cur = (
+        edges.select(F.col(src).alias(SRC), F.col(dst).alias(DST))
+        .filter(F.col(SRC).isNotNull() & F.col(DST).isNotNull())
+        .filter(F.col(SRC) != F.col(DST))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def signature(df: DataFrame) -> tuple[int, int]:
+        # bit_xor is an order-independent, overflow-free edge-set checksum
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64(SRC, DST)), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    prev_sig = None
+    for _ in range(max_iter):
+        cur = _small_star(_large_star(cur))
+        if checkpoint_every:
+            # lazy: the signature() action below materializes the checkpoint,
+            # so each round costs exactly one job
+            cur = cur.localCheckpoint(eager=False)
+        sig = signature(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+    # At the fixpoint the edge set is a star forest: (node -> component min).
+    members = cur.select(F.col(SRC).alias("node"), F.col(DST).alias("component"))
+    roots = cur.select(F.col(DST).alias("node"), F.col(DST).alias("component")).distinct()
+    return members.union(roots).distinct()
+
+
+# ---------------------------------------------------------------------------
+# links -> clusters (G1 driver)
+# ---------------------------------------------------------------------------
+def links_to_clusters(
+    links: DataFrame, threshold: float = 0.5, validate: bool = True
+) -> DataFrame:
+    """Threshold links, run CC, emit clusters contract.
+
+    Mirrors splink_links_to_clusters.py:21-51: records not involved in any
+    accepted link are **excluded** (no singleton rows) — "if a node isn't
+    involved in an accepted link, that could just represent that we haven't
+    evaluated the right pairs involving it" (one_to_many_links_to_clusters.py
+    comment).  Cluster ID = min record key in component (stable).
+    """
+    accepted = links.filter(F.col(PROBABILITY) >= F.lit(threshold))
+    edges = accepted.select(
+        record_key(f"`{LEFT_DATASET}`", f"`{LEFT_ID}`").alias(SRC),
+        record_key(f"`{RIGHT_DATASET}`", f"`{RIGHT_ID}`").alias(DST),
+    )
+    assign = connected_components(edges)
+    ds, rid = split_record_key("node")
+    out = assign.select(
+        ds.alias(INPUT_RECORD_DATASET),
+        rid.alias(INPUT_RECORD_ID),
+        F.col("component").alias(CLUSTER_ID),
+    )
+    if validate:
+        return validate_clusters(out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# clusters -> links (J2)
+# ---------------------------------------------------------------------------
+def clusters_to_links(clusters: DataFrame) -> DataFrame:
+    """All within-cluster record pairs at Probability 1.0, canonical order
+    (default_clusters_to_links.py:30-61)."""
+    c = clusters.select(
+        F.col(f"`{CLUSTER_ID}`").alias("_cid"),
+        F.col(f"`{INPUT_RECORD_DATASET}`").alias("_ds"),
+        F.col(f"`{INPUT_RECORD_ID}`").alias("_id"),
+        record_key(f"`{INPUT_RECORD_DATASET}`", f"`{INPUT_RECORD_ID}`").alias("_rk"),
+    )
+    l, r = c.alias("l"), c.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l._cid") == F.col("r._cid")) & (F.col("l._rk") < F.col("r._rk")),
+    )
+    lds, rds = F.col("l._ds"), F.col("r._ds")
+    lid = F.col("l._id").cast("string")
+    rid = F.col("r._id").cast("string")
+    swap = (lds > rds) | ((lds == rds) & (lid > rid))
+    return pairs.select(
+        F.when(swap, rds).otherwise(lds).alias(LEFT_DATASET),
+        F.when(swap, F.col("r._id")).otherwise(F.col("l._id")).alias(LEFT_ID),
+        F.when(swap, lds).otherwise(rds).alias(RIGHT_DATASET),
+        F.when(swap, F.col("l._id")).otherwise(F.col("r._id")).alias(RIGHT_ID),
+        F.lit(1.0).alias(PROBABILITY),
+    )
+
+
+# ---------------------------------------------------------------------------
+# updating clusters (G3 + G4)
+# ---------------------------------------------------------------------------
+def update_clusters(known_clusters: DataFrame, new_clusters: DataFrame) -> DataFrame:
+    """Merge two cluster assignments transitively
+    (update_clusters_by_connected_components.py:60-114).
+
+    The reference expands each cluster into all O(n^2) within-cluster edges;
+    here the graph is the **bipartite** record<->cluster-marker graph (O(n)
+    edges), CC over it, then components are relabeled to the min *record*
+    key (markers dropped).  Singleton records keep their own cluster —
+    every record appears in the output (reference adds isolated nodes,
+    :90-92).
+    """
+    def tagged(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            record_key(f"`{INPUT_RECORD_DATASET}`", f"`{INPUT_RECORD_ID}`").alias(SRC),
+            F.concat(F.lit("\x7f" + prefix + "__"),
+                     F.col(f"`{CLUSTER_ID}`").cast("string")).alias(DST),
+        )
+
+    # \x7f prefix sorts cluster-marker nodes after any printable record key,
+    # so component minima are always record keys.
+    edges = tagged(known_clusters, "known").union(tagged(new_clusters, "new"))
+    assign = connected_components(edges)
+    records_only = assign.filter(~F.col("node").startswith("\x7f"))
+    ds, rid = split_record_key("node")
+    out = records_only.select(
+        ds.alias(INPUT_RECORD_DATASET),
+        rid.alias(INPUT_RECORD_ID),
+        F.col("component").alias(CLUSTER_ID),
+    )
+    return validate_clusters(out)
+
+
+# ---------------------------------------------------------------------------
+# one-to-many constrained clustering (G6 / A3 / J6)
+# ---------------------------------------------------------------------------
+def one_to_many_links_to_clusters(
+    links: DataFrame,
+    no_duplicates_dataset: str,
+    threshold: float,
+    break_ties_method: str = "drop",
+) -> DataFrame:
+    """At most one accepted link per left record into ``no_duplicates_dataset``
+    (one_to_many_links_to_clusters.py).
+
+    Steps: validate link shape, orient the no-duplicates side right, take the
+    top link per left record by (Probability desc, right key desc) — A3 as a
+    window — then either drop left records whose top probability is tied
+    across >1 distinct links (``drop``; tie counting J6 against the *full*
+    link set, mirroring the reference's merge-on-(key, probability)) or keep
+    the highest right key (``highest_id``).  CC over accepted links.
+    """
+    lds, rds = F.col(f"`{LEFT_DATASET}`"), F.col(f"`{RIGHT_DATASET}`")
+    left_nd = lds == no_duplicates_dataset
+    right_nd = rds == no_duplicates_dataset
+    both = links.filter(left_nd & right_nd).limit(1).count()
+    if both:
+        raise ValueError(
+            f"links include links within the no_duplicates_dataset "
+            f"({no_duplicates_dataset})"
+        )
+    neither = links.filter(~(left_nd | right_nd)).limit(1).count()
+    if neither:
+        raise ValueError(
+            f"links include links that don't involve the no_duplicates_dataset "
+            f"({no_duplicates_dataset})"
+        )
+
+    oriented = links.select(
+        F.when(left_nd, rds).otherwise(lds).alias(LEFT_DATASET),
+        F.when(left_nd, F.col(f"`{RIGHT_ID}`")).otherwise(F.col(f"`{LEFT_ID}`")).alias(LEFT_ID),
+        F.when(left_nd, lds).otherwise(rds).alias(RIGHT_DATASET),
+        F.when(left_nd, F.col(f"`{LEFT_ID}`")).otherwise(F.col(f"`{RIGHT_ID}`")).alias(RIGHT_ID),
+        F.col(f"`{PROBABILITY}`"),
+    ).withColumn(
+        "_lk", record_key(f"`{LEFT_DATASET}`", f"`{LEFT_ID}`")
+    ).withColumn(
+        "_rk", record_key(f"`{RIGHT_DATASET}`", f"`{RIGHT_ID}`")
+    )
+
+    w = Window.partitionBy("_lk").orderBy(
+        F.desc(PROBABILITY), F.desc("_rk")
+    )
+    best = (
+        oriented.filter(F.col(PROBABILITY) >= F.lit(threshold))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    if break_ties_method == "drop":
+        tie_counts = (
+            best.select("_lk", PROBABILITY)
+            .join(oriented.select("_lk", PROBABILITY, "_rk"), ["_lk", PROBABILITY])
+            .groupBy("_lk")
+            .agg(F.count(F.lit(1)).alias("_ties"))
+        )
+        best = best.join(tie_counts, "_lk").filter(F.col("_ties") == 1).drop("_ties")
+    elif break_ties_method == "highest_id":
+        pass  # window order already prefers the highest right key
+    else:
+        raise ValueError(f"Unknown break_ties_method {break_ties_method}")
+
+    assign = connected_components(best.select(F.col("_lk").alias(SRC),
+                                              F.col("_rk").alias(DST)))
+    ds, rid = split_record_key("node")
+    out = assign.select(
+        ds.alias(INPUT_RECORD_DATASET),
+        rid.alias(INPUT_RECORD_ID),
+        F.col("component").alias(CLUSTER_ID),
+    )
+    return validate_clusters(out)
+
+
+# ---------------------------------------------------------------------------
+# cascading working-set reduction (P5 / P6 / J7)
+# ---------------------------------------------------------------------------
+def exclude_clustered(clusters: DataFrame, dataset: DataFrame,
+                      dataset_name: str) -> DataFrame:
+    """ids_to_remove = dataset record ids already in a cluster of size > 1
+    (exclude_clustered.py:63-77): cluster-size count (A2) + semi join (J7)."""
+    sizes = clusters.groupBy(F.col(f"`{CLUSTER_ID}`")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    clustered = (
+        clusters.join(sizes.filter(F.col("_n") > 1), CLUSTER_ID)
+        .filter(F.col(f"`{INPUT_RECORD_DATASET}`") == dataset_name)
+        .select(F.col(f"`{INPUT_RECORD_ID}`"))
+    )
+    from easylink_spark.contracts import RECORD_ID
+
+    ids = dataset.select(F.col(f"`{RECORD_ID}`").alias(INPUT_RECORD_ID)).join(
+        clustered, INPUT_RECORD_ID, "left_semi"
+    )
+    return validate_ids_to_remove(ids.distinct())
+
+
+def remove_records(dataset: DataFrame, ids_to_remove: DataFrame) -> DataFrame:
+    """Drop records whose id is in ids_to_remove — left anti join (P5;
+    reference uses isin, default_removing_records.py:55 — anti join scales)."""
+    from easylink_spark.contracts import RECORD_ID
+
+    ids = ids_to_remove.select(F.col(f"`{INPUT_RECORD_ID}`").alias("_rm"))
+    return dataset.join(
+        ids, dataset[f"`{RECORD_ID}`"] == F.col("_rm"), "left_anti"
+    )

@@ -1,0 +1,345 @@
+"""Pairwise Fellegi-Sunter scoring (SURVEY.md J3, A5-A7, P2).
+
+Reference lifecycle (inside splink_evaluating_pairs.py):
+  1. join blocked id-pairs back to records twice (l/r attributes)     :119-131
+  2. compute comparison-vector levels (gammas) per comparison         :28-35
+  3. estimate u by seeded random pair sampling                        :67
+  4. EM-train m (and u) per training rule                             :69-74
+  5. match_weight = log2(prior odds) + sum log2(m_k/u_k);
+     probability = 1/(1+2^-w); threshold filter                       :133-143
+
+Here each step is a DataFrame transformation: the pair->records double join
+is two equi-joins (sort-merge or broadcast as Catalyst decides), gammas are
+column expressions over built-in + pandas-UDF comparators, the FS weight is
+pure column arithmetic (no shuffle), and u-estimation/EM are seeded
+driver-side loops of aggregations (the only iterative aggregation besides
+connected components).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from easylink_spark.contracts import (
+    INPUT_RECORD_DATASET,
+    INPUT_RECORD_ID,
+    LEFT_DATASET,
+    LEFT_ID,
+    PAIR_COLS,
+    PROBABILITY,
+    RIGHT_DATASET,
+    RIGHT_ID,
+    validate_links,
+)
+from easylink_spark.functions import comparators as C
+
+
+@dataclass
+class Comparison:
+    """One comparison column -> gamma levels with m/u probabilities.
+
+    ``gamma`` maps (left_col_expr, right_col_expr) -> IntegerType column of
+    the agreement level in [0, n_levels).  ``m``/``u`` are
+    P(gamma=k | match) / P(gamma=k | non-match), one per level, summing ~1.
+    """
+
+    name: str
+    input_col: str
+    gamma: Callable[[Column, Column], Column]
+    m: list[float]
+    u: list[float]
+
+    @property
+    def n_levels(self) -> int:
+        return len(self.m)
+
+    def gamma_col(self) -> str:
+        return f"gamma_{self.name}"
+
+
+def _leveled(sim: Callable[[Column, Column], Column], cuts: list[float]):
+    """Similarity fn + descending threshold cuts -> gamma level expr.
+    cuts=[0.94, 0.88] -> sim>=0.94 -> 2; >=0.88 -> 1; else 0."""
+
+    def g(l: Column, r: Column) -> Column:
+        s = sim(l, r)
+        expr = F.lit(0)
+        for i, cut in enumerate(reversed(cuts), start=1):
+            expr = F.when(s >= F.lit(cut), i).otherwise(expr)
+        return expr.cast("int")
+
+    return g
+
+
+def default_transcript_comparisons() -> list[Comparison]:
+    """Comparison spec for the transcript payload (north rule: JW on
+    normalized first-turn text, token-set Jaccard on full text,
+    turn-alignment Levenshtein over ordered turns)."""
+    return [
+        Comparison(
+            "first_jw",
+            "first_text_norm",
+            _leveled(C.jaro_winkler, [0.94, 0.85]),
+            m=[0.02, 0.08, 0.90],
+            u=[0.90, 0.08, 0.02],
+        ),
+        Comparison(
+            "full_jaccard",
+            "full_text_norm",
+            _leveled(C.token_set_jaccard, [0.70, 0.45]),
+            m=[0.03, 0.15, 0.82],
+            u=[0.94, 0.05, 0.01],
+        ),
+        Comparison(
+            "turn_align",
+            "turn_texts",
+            _leveled(C.turn_alignment_similarity, [0.80, 0.55]),
+            m=[0.05, 0.15, 0.80],
+            u=[0.93, 0.05, 0.02],
+        ),
+        Comparison(
+            "role_sig",
+            "role_tool_sig",
+            _leveled(C.exact_match, [0.5]),
+            m=[0.35, 0.65],
+            u=[0.85, 0.15],
+        ),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Pairs -> attribute join -> gammas (J3)
+# ---------------------------------------------------------------------------
+def attach_pair_attributes(
+    pairs: DataFrame, records: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Join candidate pairs to the records table twice, materializing
+    ``<col>_l`` / ``<col>_r`` attribute columns (reference J3:
+    compute_comparison_vector_values_from_id_pairs joins, lifecycle §3.3)."""
+    def side(suffix: str) -> DataFrame:
+        return records.select(
+            F.col(f"`{INPUT_RECORD_DATASET}`").alias(f"_ds_{suffix}"),
+            F.col(f"`{INPUT_RECORD_ID}`").alias(f"_id_{suffix}"),
+            *[F.col(f"`{c}`").alias(f"{c}_{suffix}") for c in cols],
+        )
+
+    out = (
+        pairs.join(
+            side("l"),
+            (F.col(f"`{LEFT_DATASET}`") == F.col("_ds_l"))
+            & (F.col(f"`{LEFT_ID}`") == F.col("_id_l")),
+        )
+        .join(
+            side("r"),
+            (F.col(f"`{RIGHT_DATASET}`") == F.col("_ds_r"))
+            & (F.col(f"`{RIGHT_ID}`") == F.col("_id_r")),
+        )
+        .drop("_ds_l", "_id_l", "_ds_r", "_id_r")
+    )
+    return out
+
+
+def compute_gammas(
+    pairs_with_attrs: DataFrame, comparisons: list[Comparison]
+) -> DataFrame:
+    """Add one gamma_<name> int column per comparison."""
+    out = pairs_with_attrs
+    for c in comparisons:
+        out = out.withColumn(
+            c.gamma_col(),
+            c.gamma(F.col(f"`{c.input_col}_l`"), F.col(f"`{c.input_col}_r`")),
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# FS weight combination (A7) — pure column arithmetic
+# ---------------------------------------------------------------------------
+def fs_probability(
+    gammas: DataFrame, comparisons: list[Comparison], prior: float
+) -> DataFrame:
+    """match_weight = log2(prior/(1-prior)) + sum_k log2(m_k/u_k);
+    Probability = 1/(1+2^-w).  No shuffle: per-row arithmetic only."""
+    w: Column = F.lit(math.log2(prior / (1.0 - prior)))
+    for c in comparisons:
+        # map gamma level -> log2(m/u) via chained when (levels are tiny)
+        lw = F.lit(math.log2(c.m[0] / c.u[0]))
+        for k in range(1, c.n_levels):
+            lw = F.when(
+                F.col(c.gamma_col()) == k, math.log2(c.m[k] / c.u[k])
+            ).otherwise(lw)
+        w = w + lw
+    out = gammas.withColumn("match_weight", w).withColumn(
+        PROBABILITY, F.lit(1.0) / (F.lit(1.0) + F.pow(F.lit(2.0), -F.col("match_weight")))
+    )
+    return out
+
+
+def score_pairs(
+    pairs: DataFrame,
+    records: DataFrame,
+    comparisons: list[Comparison] | None = None,
+    prior: float = 0.01,
+    threshold: float = 0.5,
+    validate: bool = True,
+) -> DataFrame:
+    """End-to-end scoring: attach attributes, gammas, FS probability,
+    threshold filter (P2) -> links contract.
+
+    ``validate=False`` skips the in-plan contract check — callers that
+    checkpoint the result validate the *stored* table instead (each
+    validator action would otherwise recompute the whole scoring plan).
+    """
+    comparisons = comparisons or default_transcript_comparisons()
+    cols = sorted({c.input_col for c in comparisons})
+    # Comparator cost scales with pairs x text length, not bytes; a byte-small
+    # pairs table would otherwise land on one input split and score on a
+    # single task.  Spread pairs across the cluster before the double join.
+    par = pairs.sparkSession.sparkContext.defaultParallelism
+    pairs = pairs.repartition(par, F.col(f"`{LEFT_DATASET}`"), F.col(f"`{LEFT_ID}`"))
+    attrs = attach_pair_attributes(pairs, records, cols)
+    gammas = compute_gammas(attrs, comparisons)
+    scored = fs_probability(gammas, comparisons, prior)
+    links = scored.filter(F.col(PROBABILITY) >= F.lit(threshold)).select(
+        *[F.col(f"`{c}`") for c in PAIR_COLS], F.col(PROBABILITY)
+    )
+    if validate:
+        return validate_links(links)
+    return links
+
+
+# ---------------------------------------------------------------------------
+# u estimation by seeded random pair sampling (A5)
+# ---------------------------------------------------------------------------
+def estimate_u(
+    records: DataFrame,
+    comparisons: list[Comparison],
+    max_pairs: int = 1_000_000,
+    seed: int = 1234,
+    floor: float = 1e-4,
+) -> list[Comparison]:
+    """Estimate u_k = P(gamma=k | non-match) from random record pairs
+    (reference: estimate_u_using_random_sampling(max_pairs=5e6, seed=1234),
+    splink_evaluating_pairs.py:67).  Sampling is by deterministic hash of the
+    record key, not by partition, so results are identical at any
+    parallelism (SURVEY §4.2.3)."""
+    n = records.count()
+    if n < 2:
+        return comparisons
+    # fraction so that f^2 * n^2 ~= max_pairs
+    f = min(1.0, math.sqrt(max_pairs) / n)
+    cols = sorted({c.input_col for c in comparisons})
+    key_hash = F.xxhash64(
+        F.col(f"`{INPUT_RECORD_DATASET}`"),
+        F.col(f"`{INPUT_RECORD_ID}`"),
+        F.lit(seed),
+    )
+    # deterministic pseudo-uniform in [0,1) from the hash
+    u01 = (F.pmod(key_hash, F.lit(1_000_000_007)) / F.lit(1_000_000_007.0))
+    sample = records.filter(u01 < F.lit(f)).select(
+        F.col(f"`{INPUT_RECORD_DATASET}`"),
+        F.col(f"`{INPUT_RECORD_ID}`"),
+        *[F.col(f"`{c}`") for c in cols],
+    )
+    l = sample.select(
+        F.col(f"`{INPUT_RECORD_DATASET}`").alias(LEFT_DATASET),
+        F.col(f"`{INPUT_RECORD_ID}`").alias(LEFT_ID),
+        *[F.col(f"`{c}`").alias(f"{c}_l") for c in cols],
+    )
+    r = sample.select(
+        F.col(f"`{INPUT_RECORD_DATASET}`").alias(RIGHT_DATASET),
+        F.col(f"`{INPUT_RECORD_ID}`").alias(RIGHT_ID),
+        *[F.col(f"`{c}`").alias(f"{c}_r") for c in cols],
+    )
+    pairs = l.crossJoin(r).filter(
+        F.concat_ws("-", F.col(f"`{LEFT_DATASET}`"), F.col(f"`{LEFT_ID}`"))
+        < F.concat_ws("-", F.col(f"`{RIGHT_DATASET}`"), F.col(f"`{RIGHT_ID}`"))
+    )
+    gammas = compute_gammas(pairs, comparisons)
+    aggs = gammas.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.when(F.col(c.gamma_col()) == k, 1).otherwise(0)).alias(
+                f"{c.gamma_col()}_{k}"
+            )
+            for c in comparisons
+            for k in range(c.n_levels)
+        ],
+    ).collect()[0]
+    total = aggs["_n"] or 1
+    out = []
+    for c in comparisons:
+        u = [max(floor, aggs[f"{c.gamma_col()}_{k}"] / total) for k in range(c.n_levels)]
+        s = sum(u)
+        out.append(Comparison(c.name, c.input_col, c.gamma, list(c.m), [x / s for x in u]))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# EM estimation of m (and optionally u) — A6
+# ---------------------------------------------------------------------------
+def estimate_m_u_em(
+    gammas: DataFrame,
+    comparisons: list[Comparison],
+    prior: float = 0.01,
+    max_iter: int = 20,
+    tol: float = 1e-4,
+    update_u: bool = False,
+    floor: float = 1e-4,
+) -> tuple[list[Comparison], float]:
+    """Expectation-maximisation over the comparison-vector table
+    (reference: estimate_parameters_using_expectation_maximisation,
+    splink_evaluating_pairs.py:69-74).
+
+    E-step: per-pair match posterior p from current params (column expr);
+    M-step: m_k = sum p[gamma=k]/sum p, u_k = sum (1-p)[gamma=k]/sum (1-p);
+    prior lambda = mean p.  Driver loop of DataFrame aggregations; the gammas
+    input should be cached by the caller.
+    """
+    comps = [Comparison(c.name, c.input_col, c.gamma, list(c.m), list(c.u))
+             for c in comparisons]
+    lam = prior
+    for _ in range(max_iter):
+        scored = fs_probability(gammas, comps, lam)
+        agg_exprs = [F.sum(PROBABILITY).alias("_sp"),
+                     F.count(F.lit(1)).alias("_n")]
+        for c in comps:
+            for k in range(c.n_levels):
+                is_k = F.col(c.gamma_col()) == k
+                agg_exprs.append(
+                    F.sum(F.when(is_k, F.col(PROBABILITY)).otherwise(0.0)).alias(
+                        f"m_{c.name}_{k}"
+                    )
+                )
+                agg_exprs.append(
+                    F.sum(F.when(is_k, 1 - F.col(PROBABILITY)).otherwise(0.0)).alias(
+                        f"u_{c.name}_{k}"
+                    )
+                )
+        row = scored.agg(*agg_exprs).collect()[0]
+        sp, n = row["_sp"] or 0.0, row["_n"] or 1
+        new_lam = min(max(sp / n, 1e-9), 1 - 1e-9)
+        delta = abs(new_lam - lam)
+        for c in comps:
+            m_tot = sum(row[f"m_{c.name}_{k}"] for k in range(c.n_levels)) or 1.0
+            u_tot = sum(row[f"u_{c.name}_{k}"] for k in range(c.n_levels)) or 1.0
+            new_m = [max(floor, row[f"m_{c.name}_{k}"] / m_tot) for k in range(c.n_levels)]
+            sm = sum(new_m)
+            new_m = [x / sm for x in new_m]
+            delta = max(delta, max(abs(a - b) for a, b in zip(new_m, c.m)))
+            c.m = new_m
+            if update_u:
+                new_u = [max(floor, row[f"u_{c.name}_{k}"] / u_tot) for k in range(c.n_levels)]
+                su = sum(new_u)
+                new_u = [x / su for x in new_u]
+                delta = max(delta, max(abs(a - b) for a, b in zip(new_u, c.u)))
+                c.u = new_u
+        lam = new_lam
+        if delta < tol:
+            break
+    return comps, lam

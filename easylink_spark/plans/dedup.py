@@ -1,0 +1,151 @@
+"""The flagship plan: transcript deduplication / entity resolution.
+
+block -> compare -> score -> cluster over a transcripts table
+(conv_id, turn_idx, role, text, tool, ts), per the north rule:
+
+  features   : groupBy(conv_id) ordered-turn aggregation (features.py)
+  blocking   : exact normalized-first-turn-prefix key (salted) ∪ MinHash-LSH
+               over full normalized text ∪ sorted-neighborhood, with
+               splink-style match_key dedup (blocking.py)
+  scoring    : pairs ⋈ records ×2 -> gammas (JW pandas UDF + built-in
+               Jaccard / turn-alignment) -> Fellegi-Sunter probability ->
+               threshold (scoring.py)
+  clustering : large-star/small-star connected components -> stable
+               cluster ids (clustering.py)
+
+Every stage lands in a checkpoint table with a lineage manifest
+(sources/checkpoint.py), so a killed run resumes from the last completed
+stage.  The same driver runs at any parallelism — all stages are
+partitioning-independent by construction.
+
+Equivalent of the reference's e2e path
+`schema_alignment -> blocking_and_filtering -> evaluating_pairs ->
+links_to_clusters` (pipeline_schema_constants/main.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from easylink_spark.contracts import (
+    validate_clusters,
+    validate_links,
+    validate_pairs,
+    validate_records,
+    validate_transcripts,
+)
+from easylink_spark.operators import blocking as B
+from easylink_spark.operators import clustering as G
+from easylink_spark.operators import scoring as S
+from easylink_spark.operators.features import conversation_features
+from easylink_spark.sources.checkpoint import StageRunner
+
+
+@dataclass
+class DedupConfig:
+    dataset_name: str = "transcripts"
+    blocking_prefix_len: int = 24
+    use_lsh: bool = True
+    use_sorted_neighborhood: bool = False
+    lsh_num_hashes: int = 32
+    lsh_bands: int = 8
+    snm_window: int = 3
+    hot_block_threshold: int = 512
+    prior: float = 0.01
+    threshold: float = 0.85
+    estimate_u: bool = False
+    em_iterations: int = 0  # 0 = fixed m/u (deterministic default)
+
+    def as_dict(self) -> dict:
+        return dict(self.__dict__)
+
+
+def run_dedup(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    checkpoint_dir: str,
+    config: DedupConfig | None = None,
+) -> DataFrame:
+    """Full pipeline; returns the clusters contract DataFrame."""
+    cfg = config or DedupConfig()
+    runner = StageRunner(spark, checkpoint_dir, cfg.as_dict())
+
+    # Input checkpoint: the raw transcripts land verbatim as stage 0 so the
+    # per-row invariant (per-turn text equality under stable (conv_id,
+    # turn_idx) ordering, BASELINE.json) is checkable against every
+    # downstream text-carrying stage, and reruns never re-read the source.
+    raw = runner.stage(
+        "transcripts", lambda: transcripts, validator=validate_transcripts
+    )
+
+    records = runner.stage(
+        "records",
+        lambda: conversation_features(
+            raw, cfg.dataset_name, cfg.blocking_prefix_len, validate=False
+        ),
+        inputs=["transcripts"],
+        validator=validate_records,
+    )
+
+    def build_pairs() -> DataFrame:
+        rules = [
+            B.block_on_key(
+                records,
+                F.col("first_prefix"),
+                hot_block_threshold=cfg.hot_block_threshold,
+            )
+        ]
+        if cfg.use_lsh:
+            rules.append(
+                B.block_minhash_lsh(
+                    records,
+                    "full_text_norm",
+                    num_hashes=cfg.lsh_num_hashes,
+                    bands=cfg.lsh_bands,
+                )
+            )
+        if cfg.use_sorted_neighborhood:
+            rules.append(
+                B.block_sorted_neighborhood(
+                    records, "first_text_norm", window=cfg.snm_window
+                )
+            )
+        return B.union_blocking_rules(rules)
+
+    pairs = runner.stage(
+        "pairs", build_pairs, inputs=["records"], validator=validate_pairs
+    )
+
+    def build_links() -> DataFrame:
+        comparisons = S.default_transcript_comparisons()
+        if cfg.estimate_u:
+            comparisons = S.estimate_u(records, comparisons)
+        if cfg.em_iterations:
+            cols = sorted({c.input_col for c in comparisons})
+            gammas = S.compute_gammas(
+                S.attach_pair_attributes(pairs, records, cols), comparisons
+            ).persist()
+            comparisons, _ = S.estimate_m_u_em(
+                gammas, comparisons, cfg.prior, max_iter=cfg.em_iterations
+            )
+            gammas.unpersist()
+        return S.score_pairs(
+            pairs, records, comparisons, prior=cfg.prior,
+            threshold=cfg.threshold, validate=False,
+        )
+
+    links = runner.stage(
+        "links", build_links, inputs=["records", "pairs"],
+        validator=validate_links,
+    )
+
+    clusters = runner.stage(
+        "clusters",
+        lambda: G.links_to_clusters(links, cfg.threshold, validate=False),
+        inputs=["links"],
+        validator=validate_clusters,
+    )
+    return clusters

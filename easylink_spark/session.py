@@ -1,0 +1,59 @@
+"""SparkSession construction tuned for this engine.
+
+The engine targets multi-executor clusters (spark-submit --py-files); in the
+sandbox we run local[N].  All settings here are scale-oriented defaults:
+
+- AQE on (runtime coalescing + skew-join splitting),
+- Arrow on (every comparator UDF is a vectorized pandas UDF),
+- UTC session timezone (oracle comparisons against DuckDB),
+- shuffle partitions sized to cores for local mode (callers override for
+  cluster runs; at 100 TB you want O(2-3x total-cores) partitions).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "easylink_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores=None`` uses ``local[*]``.  On a real cluster, callers pass no
+    master at all via spark-submit; this helper only sets a master when one
+    is not already configured.
+    """
+    cores_env = os.environ.get("SPARK_GRAFT_CPUS")
+    if cores is None and cores_env:
+        cores = int(cores_env)
+    master = f"local[{cores}]" if cores else "local[*]"
+    n_shuffle = shuffle_partitions or (cores if cores else 32)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.default.parallelism", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Comparator UDFs ship wide text batches over Arrow; keep batches
+        # bounded so executor Python memory stays flat at scale.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    # Only force a master when none is configured (spark-submit sets one).
+    if not os.environ.get("SPARK_MASTER") and "SPARK_SUBMIT" not in os.environ:
+        builder = builder.master(master)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

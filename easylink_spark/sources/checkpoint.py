@@ -1,0 +1,135 @@
+"""Stage checkpointing with lineage manifests (north rule: "checkpoints every
+stage ... with per-partition lineage and counters so any stage is resumable").
+
+The reference gets resume-for-free from Snakemake (a rule whose output file
+exists is skipped) and uses the shared filesystem as the pipeline-level
+shuffle (SURVEY §3.4).  Here each stage write is:
+
+- an atomic table write — Iceberg ``writeTo(...).createOrReplace()`` when an
+  Iceberg catalog is configured on the session, else parquet to
+  ``<base>/<stage>`` (overwrite) — SURVEY §7.4.6 fallback;
+- a ``_manifest.json`` next to it with: stage name, config hash, input
+  manifest hashes (lineage), total + per-partition row counts, wall time.
+
+``StageRunner.stage(name, fn, inputs=...)`` skips recompute when a manifest
+with the same config hash + input lineage already exists (idempotent,
+exactly-once resume: the manifest is written only after a successful table
+write).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Callable
+from hashlib import sha256
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _stable_hash(obj) -> str:
+    return sha256(json.dumps(obj, sort_keys=True, default=str).encode()).hexdigest()[:16]
+
+
+class StageRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str | Path,
+        config: dict | None = None,
+        iceberg_catalog: str | None = None,
+        validate: bool = True,
+    ):
+        self.spark = spark
+        self.base = Path(base_dir)
+        self.base.mkdir(parents=True, exist_ok=True)
+        self.config_hash = _stable_hash(config or {})
+        self.iceberg_catalog = iceberg_catalog
+        self.manifests: dict[str, dict] = {}
+
+    # -- storage layer ------------------------------------------------------
+    def _table_path(self, name: str) -> Path:
+        return self.base / name
+
+    def _manifest_path(self, name: str) -> Path:
+        return self.base / f"{name}._manifest.json"
+
+    def _write(self, name: str, df: DataFrame) -> None:
+        if self.iceberg_catalog:
+            df.writeTo(f"{self.iceberg_catalog}.{name}").createOrReplace()
+        else:
+            df.write.mode("overwrite").parquet(str(self._table_path(name)))
+
+    def read(self, name: str) -> DataFrame:
+        if self.iceberg_catalog:
+            return self.spark.table(f"{self.iceberg_catalog}.{name}")
+        return self.spark.read.parquet(str(self._table_path(name)))
+
+    # -- lineage ------------------------------------------------------------
+    def _lineage_of(self, inputs: list[str]) -> dict[str, str]:
+        out = {}
+        for dep in inputs:
+            m = self.manifests.get(dep)
+            if m is None and self._manifest_path(dep).exists():
+                m = json.loads(self._manifest_path(dep).read_text())
+            out[dep] = m["content_hash"] if m else "external"
+        return out
+
+    def stage(
+        self,
+        name: str,
+        fn: Callable[[], DataFrame],
+        inputs: list[str] | None = None,
+        force: bool = False,
+        validator: Callable[[DataFrame], DataFrame] | None = None,
+    ) -> DataFrame:
+        """Run (or resume) one checkpointed stage.
+
+        Resume rule: if a manifest exists whose config hash and input lineage
+        match, the stored table is returned without recompute.  The manifest
+        is only written after the table write succeeds, so a killed run
+        resumes from the last *completed* stage (SURVEY §7.4.4).
+
+        ``validator`` (a contracts.validate_* function) runs against the
+        *stored* table — one cheap parquet re-scan per check instead of
+        recomputing the whole stage plan per validation action.
+        """
+        inputs = inputs or []
+        lineage = self._lineage_of(inputs)
+        mpath = self._manifest_path(name)
+        if not force and mpath.exists():
+            m = json.loads(mpath.read_text())
+            if m.get("config_hash") == self.config_hash and m.get("lineage") == lineage:
+                self.manifests[name] = m
+                return self.read(name)
+
+        t0 = time.time()
+        df = fn()
+        self._write(name, df)
+        stored = self.read(name)
+        if validator is not None:
+            validator(stored)
+        per_part = [
+            (r["p"], r["n"])
+            for r in stored.groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        n_rows = sum(n for _, n in per_part)
+        manifest = {
+            "stage": name,
+            "config_hash": self.config_hash,
+            "lineage": lineage,
+            "rows": n_rows,
+            "partitions": sorted(per_part),
+            "columns": stored.columns,
+            "wall_sec": round(time.time() - t0, 3),
+            "content_hash": _stable_hash(
+                {"rows": n_rows, "config": self.config_hash, "lineage": lineage}
+            ),
+        }
+        mpath.write_text(json.dumps(manifest, indent=1))
+        self.manifests[name] = manifest
+        return stored

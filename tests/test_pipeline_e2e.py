@@ -1,0 +1,146 @@
+"""End-to-end linkage-accuracy tests (the correctness gate).
+
+Criteria from BASELINE.json / the reference's own e2e suite:
+
+- pairwise F1 >= 0.99 on labeled pairs (BASELINE.json "metric");
+- label-invariant cluster partition comparison — frozenset-of-frozensets,
+  copied from the reference
+  (tests/e2e/test_pipelines_main_schema.py:160-182);
+- per-turn text equality under stable (conv_id, turn_idx) ordering between
+  the input and the checkpointed transcripts stage (per-row invariant);
+- resume: a completed stage is not recomputed; config change invalidates.
+
+One pipeline run is shared across the assertion tests (module fixture);
+determinism gets its own two runs at a smaller scale.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from easylink_spark import contracts as K
+from easylink_spark.plans.dedup import DedupConfig, run_dedup
+from easylink_spark.sources.checkpoint import StageRunner
+from easylink_spark.synth import labels_of, synth_transcripts
+
+N_ENTITIES = 120
+
+
+@pytest.fixture(scope="module")
+def pipeline(spark):
+    ckpt = tempfile.mkdtemp(prefix="elspark_e2e_")
+    t = synth_transcripts(spark, n_entities=N_ENTITIES, seed=42).cache()
+    labels = labels_of(t)
+    clusters = run_dedup(spark, t.drop("entity_id"), ckpt, DedupConfig())
+    yield t, labels, clusters, ckpt
+    t.unpersist()
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def pairwise_f1(labels, clusters) -> tuple[float, float, float]:
+    truth = (
+        labels.alias("a")
+        .join(
+            labels.alias("b"),
+            (F.col("a.entity_id") == F.col("b.entity_id"))
+            & (F.col("a.conv_id") < F.col("b.conv_id")),
+        )
+        .select(F.col("a.conv_id").alias("l"), F.col("b.conv_id").alias("r"))
+    )
+    pred = clusters.select(
+        F.col(f"`{K.INPUT_RECORD_ID}`").alias("cid"),
+        F.col(f"`{K.CLUSTER_ID}`").alias("cl"),
+    )
+    pred_pairs = (
+        pred.alias("a")
+        .join(
+            pred.alias("b"),
+            (F.col("a.cl") == F.col("b.cl")) & (F.col("a.cid") < F.col("b.cid")),
+        )
+        .select(F.col("a.cid").alias("l"), F.col("b.cid").alias("r"))
+    )
+    tp = pred_pairs.join(truth, ["l", "r"]).count()
+    fp = pred_pairs.count() - tp
+    fn = truth.count() - tp
+    prec = tp / (tp + fp) if tp + fp else 1.0
+    rec = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return prec, rec, f1
+
+
+def partition_of(clusters) -> set[frozenset]:
+    comps: dict[str, set] = {}
+    for r in clusters.collect():
+        comps.setdefault(r[K.CLUSTER_ID], set()).add(r[K.INPUT_RECORD_ID])
+    return {frozenset(v) for v in comps.values()}
+
+
+def test_e2e_f1_gate(pipeline):
+    _, labels, clusters, _ = pipeline
+    prec, rec, f1 = pairwise_f1(labels, clusters)
+    assert f1 >= 0.99, f"pairwise F1 {f1:.4f} (p={prec:.4f}, r={rec:.4f}) < 0.99"
+
+
+def test_e2e_partition_equality(pipeline):
+    """Label-invariant partition equality vs the truth partition restricted
+    to duplicated entities (singletons are excluded by links_to_clusters
+    semantics — one_to_many_links_to_clusters.py:80-83)."""
+    _, labels, clusters, _ = pipeline
+    truth_partition = {
+        frozenset(r["ids"])
+        for r in labels.groupBy("entity_id")
+        .agg(F.collect_set("conv_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .collect()
+    }
+    assert partition_of(clusters) == truth_partition
+
+
+def test_e2e_per_row_invariant(spark, pipeline):
+    """Per-turn text equality under (conv_id, turn_idx) ordering between the
+    input and the checkpointed transcripts stage."""
+    t, _, _, ckpt = pipeline
+    stored = StageRunner(spark, ckpt).read("transcripts")
+    joined = (
+        t.drop("entity_id").alias("in")
+        .join(stored.alias("st"), ["conv_id", "turn_idx"], "full")
+        .filter(
+            F.col("in.text").isNull()
+            | F.col("st.text").isNull()
+            | (F.col("in.text") != F.col("st.text"))
+        )
+    )
+    assert joined.count() == 0
+
+
+def test_e2e_resume_skips_completed_stages(spark, pipeline):
+    t, _, _, ckpt = pipeline
+    manifests = sorted(Path(ckpt).glob("*._manifest.json"))
+    assert {m.name.split(".")[0] for m in manifests} >= {
+        "transcripts", "records", "pairs", "links", "clusters"
+    }
+    before = {m.name: m.stat().st_mtime_ns for m in manifests}
+    run_dedup(spark, t.drop("entity_id"), ckpt, DedupConfig())  # resume
+    after = {m.name: m.stat().st_mtime_ns for m in manifests}
+    assert before == after, "resume must not rewrite completed stages"
+
+    # config change invalidates downstream stages
+    run_dedup(spark, t.drop("entity_id"), ckpt, DedupConfig(threshold=0.9))
+    after2 = {m.name: m.stat().st_mtime_ns for m in manifests}
+    assert after2 != after, "config change must recompute stages"
+    m = json.loads((Path(ckpt) / "links._manifest.json").read_text())
+    assert m["rows"] >= 0 and m["columns"]
+
+
+def test_e2e_deterministic_same_seed(spark, tmp_ckpt):
+    t = synth_transcripts(spark, n_entities=50, seed=11).drop("entity_id").cache()
+    c1 = run_dedup(spark, t, tmp_ckpt + "/a", DedupConfig())
+    c2 = run_dedup(spark, t, tmp_ckpt + "/b", DedupConfig())
+    assert c1.exceptAll(c2).count() == 0 and c2.exceptAll(c1).count() == 0
+    t.unpersist()

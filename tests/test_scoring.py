@@ -1,0 +1,106 @@
+"""Fellegi-Sunter scoring tests (J3, A5-A7, P2)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from easylink_spark import contracts as K
+from easylink_spark.functions import comparators as C
+from easylink_spark.operators import scoring as S
+
+
+def _records(spark, rows):
+    """rows: (ds, id, name)"""
+    return spark.createDataFrame(
+        rows,
+        f"`{K.INPUT_RECORD_DATASET}` string, `{K.INPUT_RECORD_ID}` string, "
+        "name string",
+    )
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        f"`{K.LEFT_DATASET}` string, `{K.LEFT_ID}` string, "
+        f"`{K.RIGHT_DATASET}` string, `{K.RIGHT_ID}` string",
+    )
+
+
+def name_comparison():
+    return S.Comparison(
+        "name", "name", S._leveled(C.exact_match, [0.5]), m=[0.1, 0.9], u=[0.9, 0.1]
+    )
+
+
+def test_fs_probability_math(spark):
+    """p = 1/(1+2^-w), w = log2(prior odds) + log2(m/u) at observed level."""
+    comp = name_comparison()
+    prior = 0.2
+    df = spark.createDataFrame([(1,), (0,)], "gamma_name int")
+    out = {r["gamma_name"]: r[K.PROBABILITY]
+           for r in S.fs_probability(df, [comp], prior).collect()}
+    for gamma, (m, u) in {1: (0.9, 0.1), 0: (0.1, 0.9)}.items():
+        w = math.log2(prior / (1 - prior)) + math.log2(m / u)
+        assert abs(out[gamma] - 1 / (1 + 2 ** -w)) < 1e-12
+
+
+def test_score_pairs_end_to_end(spark):
+    records = _records(
+        spark, [("d", "1", "alice"), ("d", "2", "alice"), ("d", "3", "zed")]
+    )
+    pairs = _pairs(spark, [("d", "1", "d", "2"), ("d", "1", "d", "3")])
+    links = S.score_pairs(pairs, records, [name_comparison()], prior=0.5,
+                          threshold=0.5)
+    got = {(r[K.LEFT_ID], r[K.RIGHT_ID]): r[K.PROBABILITY] for r in links.collect()}
+    assert set(got) == {("1", "2")}
+    assert got[("1", "2")] > 0.8
+
+
+def test_attach_pair_attributes(spark):
+    records = _records(spark, [("d", "1", "a"), ("d", "2", "b")])
+    pairs = _pairs(spark, [("d", "1", "d", "2")])
+    row = S.attach_pair_attributes(pairs, records, ["name"]).collect()[0]
+    assert row["name_l"] == "a" and row["name_r"] == "b"
+
+
+def test_estimate_u_deterministic_and_sane(spark):
+    rows = [("d", f"{i:04d}", f"name{i % 7}") for i in range(60)]
+    records = _records(spark, rows)
+    comp = name_comparison()
+    out1 = S.estimate_u(records, [comp], max_pairs=500, seed=9)
+    out2 = S.estimate_u(records, [comp], max_pairs=500, seed=9)
+    assert out1[0].u == out2[0].u  # deterministic
+    # ~1/7 of random name pairs agree; u[1] must reflect that, not 0.1 default
+    assert 0.05 < out1[0].u[1] < 0.30
+    assert abs(sum(out1[0].u) - 1.0) < 1e-9
+
+
+def test_em_separates_mixture(spark):
+    """Two-component mixture over two conditionally-independent binary
+    comparisons (a single binary comparison is famously unidentifiable for a
+    Bernoulli mixture): EM should learn m/u that separate matches (agree on
+    both) from non-matches (rarely agree)."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for _ in range(300):  # non-matches: agree 10% / 15%
+        rows.append((1 if rng.random() < 0.10 else 0,
+                     1 if rng.random() < 0.15 else 0))
+    for _ in range(100):  # matches: agree 95% / 90%
+        rows.append((1 if rng.random() < 0.95 else 0,
+                     1 if rng.random() < 0.90 else 0))
+    gammas = spark.createDataFrame(rows, "gamma_name int, gamma_city int")
+    comps = [
+        S.Comparison("name", "name", S._leveled(C.exact_match, [0.5]),
+                     m=[0.3, 0.7], u=[0.7, 0.3]),
+        S.Comparison("city", "city", S._leveled(C.exact_match, [0.5]),
+                     m=[0.3, 0.7], u=[0.7, 0.3]),
+    ]
+    trained, lam = S.estimate_m_u_em(gammas, comps, prior=0.3, update_u=True,
+                                     max_iter=60, tol=1e-5)
+    assert trained[0].m[1] > 0.80      # matches agree on name
+    assert trained[0].u[1] < 0.25      # non-matches rarely agree
+    assert 0.1 < lam < 0.5             # learned mixture weight near 0.25
