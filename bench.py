@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: runs the headline workload at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "e2e_dedup_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-workload sec...}, "sf": <sf>,
+   "turns": N, "turns_per_sec": T, "cores": C}
+
+Headline workloads:
+  - dedup_pipeline : full block->score->cluster over a deterministic
+    synthetic transcript corpus sized by sf (the engine's north-rule job)
+  - minhash_lsh    : LSH candidate generation over documents.parquet
+  - fs_score       : blocked Fellegi-Sunter scoring over part.parquet
+  - ann_topk       : brute-force cosine top-k over embeddings.parquet
+
+Scaling mode (the two-cluster-size criterion, BASELINE.md protocol):
+
+  python bench.py --scaling
+
+runs the identical dedup job at local[8] and local[32] in fresh subprocesses
+on the same deterministic input, asserts the cluster outputs identical, and
+writes BENCH/BASELINE.md with throughput_N, throughput_4N and efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# entities scale with sf: sf0.1 -> 3000 entities (~8k convs, ~55k turns)
+SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+N_ENTITIES = int(os.environ.get("BENCH_ENTITIES", str(max(150, int(30000 * SF)))))
+SEED = 42
+
+os.environ.setdefault("EASYLINK_VALIDATE", "0")
+
+
+def _spark(cores: int):
+    from easylink_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cores, shuffle_partitions=max(cores, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def run_dedup_bench(spark, ckpt: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from easylink_spark.plans.dedup import DedupConfig, run_dedup
+    from easylink_spark.synth import synth_transcripts
+
+    t = synth_transcripts(spark, n_entities=N_ENTITIES, seed=SEED).drop("entity_id")
+    t0 = time.time()
+    clusters = run_dedup(spark, t, ckpt, DedupConfig())
+    n_clustered = clusters.count()
+    wall = time.time() - t0
+    n_turns = spark.read.parquet(f"{ckpt}/transcripts").count()
+    # stable output checksum for cross-parallelism identity checks
+    checksum = clusters.agg(
+        F.coalesce(
+            F.bit_xor(F.xxhash64("`Input Record Dataset`", "`Input Record ID`",
+                                 "`Cluster ID`")),
+            F.lit(0),
+        ).alias("h")
+    ).collect()[0]["h"]
+    return {
+        "wall_sec": round(wall, 2),
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / wall, 1),
+        "clustered_rows": n_clustered,
+        "checksum": checksum,
+    }
+
+
+def run_query_bench(spark) -> dict:
+    from easylink_spark.plans import driver_queries as DQ
+
+    out = {}
+    for name in ["minhash_lsh_dedup", "fs_score", "ann_cosine_topk",
+                 "exact_dedup", "connected_components"]:
+        fn, _ = DQ.REGISTRY[name]
+        t0 = time.time()
+        n = fn(spark, SF_DIR).count()
+        out[name] = {"sec": round(time.time() - t0, 2), "rows": n}
+    return out
+
+
+def main_single(cores: int) -> dict:
+    spark = _spark(cores)
+    ckpt = tempfile.mkdtemp(prefix="elspark_bench_")
+    try:
+        dedup = run_dedup_bench(spark, ckpt)
+        queries = run_query_bench(spark)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    qsecs = {k: v["sec"] for k, v in queries.items()}
+    qsecs["dedup_pipeline"] = dedup["wall_sec"]
+    return {
+        "metric": "e2e_dedup_sec",
+        "value": dedup["wall_sec"],
+        "unit": "sec",
+        "queries": qsecs,
+        "sf": SF,
+        "cores": cores,
+        "entities": N_ENTITIES,
+        "turns": dedup["turns"],
+        "turns_per_sec": dedup["turns_per_sec"],
+        "clustered_rows": dedup["clustered_rows"],
+        "checksum": dedup["checksum"],
+    }
+
+
+def _subprocess_measure(cores: int) -> dict:
+    env = dict(os.environ)
+    env["BENCH_CORES"] = str(cores)
+    env["BENCH_ENTITIES"] = str(N_ENTITIES)
+    res = subprocess.run(
+        [sys.executable, __file__, "--measure-dedup-only"],
+        capture_output=True, text=True, env=env, cwd=os.path.dirname(__file__),
+    )
+    for line in reversed(res.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no JSON from subprocess: {res.stdout[-500:]} {res.stderr[-2000:]}")
+
+
+def main_scaling() -> None:
+    n_small, n_big = 8, 32
+    r_small = _subprocess_measure(n_small)
+    r_big = _subprocess_measure(n_big)
+    assert r_small["checksum"] == r_big["checksum"], (
+        f"clusters differ across parallelism: {r_small['checksum']} vs "
+        f"{r_big['checksum']}"
+    )
+    eff = r_big["turns_per_sec"] / (4.0 * r_small["turns_per_sec"])
+    os.makedirs(os.path.join(os.path.dirname(__file__) or ".", "BENCH"),
+                exist_ok=True)
+    md = f"""# BENCH/BASELINE — two-cluster-size scaling evidence
+
+Protocol (BASELINE.md): the identical dedup job (synthetic transcript corpus,
+{N_ENTITIES} entities, seed {SEED}, {r_small['turns']} turns) run at two
+parallelism levels on the same input; clusters asserted identical
+(checksum {r_small['checksum']}) before timing is accepted.
+
+| parallelism | wall (s) | turns/sec |
+|---|---|---|
+| local[{n_small}] (N) | {r_small['wall_sec']} | {r_small['turns_per_sec']} |
+| local[{n_big}] (4N) | {r_big['wall_sec']} | {r_big['turns_per_sec']} |
+
+**Scaling efficiency** = throughput_4N / (4 x throughput_N) =
+{r_big['turns_per_sec']} / (4 x {r_small['turns_per_sec']}) = **{eff:.3f}**
+(gate: >= 0.8)
+"""
+    with open(os.path.join(os.path.dirname(__file__) or ".",
+                           "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(json.dumps({
+        "metric": "scaling_efficiency", "value": round(eff, 3), "unit": "ratio",
+        "queries": {"dedup_local8_sec": r_small["wall_sec"],
+                    "dedup_local32_sec": r_big["wall_sec"]},
+        "sf": SF,
+        "turns": r_small["turns"],
+        "throughput_N": r_small["turns_per_sec"],
+        "throughput_4N": r_big["turns_per_sec"],
+        "identical_clusters": True,
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    elif "--measure-dedup-only" in sys.argv:
+        cores = int(os.environ.get("BENCH_CORES", str(CPUS)))
+        spark = _spark(cores)
+        ckpt = tempfile.mkdtemp(prefix="elspark_bench_")
+        try:
+            out = run_dedup_bench(spark, ckpt)
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+        print(json.dumps(out))
+    else:
+        print(json.dumps(main_single(CPUS)))

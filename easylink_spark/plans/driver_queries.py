@@ -1,0 +1,673 @@
+"""Driver-contract query registry: one entry per implemented operator
+(SURVEY.md §2), each as a (spark_fn, oracle_sql) pair.
+
+The Spark side exercises the *engine's own operators* over the driver's
+parquet tables (/root/testdata/sf*/); the oracle is equivalent ANSI SQL that
+DuckDB runs on the same tables.  Column names and rounding are aligned on
+both sides because the driver compares by order-insensitive value hash after
+sorting columns by name.
+
+Registry entries with ``sql=None`` are genuinely non-SQL-expressible
+(iterative LSH banding, the full pipeline) and get the driver's weaker
+rows-only check; their correctness is covered by tests/.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from easylink_spark import contracts as K
+from easylink_spark.operators import blocking as B
+from easylink_spark.operators import clustering as G
+from easylink_spark.operators import scoring as S
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn: QueryFn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# S3/P1/U1: schema alignment — datasets dir -> records contract
+# (ref: default_schema_alignment.py:29-47)
+# ---------------------------------------------------------------------------
+@q(
+    "schema_alignment",
+    """
+    SELECT 'customer' AS dataset, CAST(c_custkey AS VARCHAR) AS record_id,
+           c_name AS name, c_nationkey AS nationkey
+    FROM customer
+    UNION ALL
+    SELECT 'supplier', CAST(s_suppkey AS VARCHAR), s_name, s_nationkey
+    FROM supplier
+    """,
+)
+def schema_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("dataset"),
+        F.col("c_custkey").cast("string").alias("record_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("dataset"),
+        F.col("s_suppkey").cast("string").alias("record_id"),
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").alias("nationkey"),
+    )
+    return cust.unionByName(supp)
+
+
+# ---------------------------------------------------------------------------
+# P2: threshold filter on a links-shaped table (ref:
+# one_to_many_links_to_clusters.py:56-57)
+# ---------------------------------------------------------------------------
+@q(
+    "threshold_filter",
+    """
+    SELECT DISTINCT 'orders' AS left_ds, CAST(l_orderkey AS VARCHAR) AS left_id,
+           'part' AS right_ds, CAST(l_partkey AS VARCHAR) AS right_id,
+           l_discount * 10.0 AS probability
+    FROM lineitem
+    WHERE l_discount * 10.0 >= 0.5
+    """,
+)
+def threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    links = li.select(
+        F.lit("orders").alias("left_ds"),
+        F.col("l_orderkey").cast("string").alias("left_id"),
+        F.lit("part").alias("right_ds"),
+        F.col("l_partkey").cast("string").alias("right_id"),
+        (F.col("l_discount") * 10.0).alias("probability"),
+    ).distinct()
+    return links.filter(F.col("probability") >= 0.5)
+
+
+# ---------------------------------------------------------------------------
+# P5/J5: exclusion anti join (ref: default_removing_records.py:55)
+# ---------------------------------------------------------------------------
+@q(
+    "anti_join_removal",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# J7/J4: semi-join membership (ref: exclude_clustered.py:73-77)
+# ---------------------------------------------------------------------------
+@q(
+    "semi_join_membership",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_join_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# J2/F5: clusters -> links with canonical pair ordering
+# (ref: default_clusters_to_links.py:30-61) — via the engine operator
+# ---------------------------------------------------------------------------
+@q(
+    "clusters_to_links",
+    """
+    SELECT CASE WHEN CAST(a.n_nationkey AS VARCHAR) < CAST(b.n_nationkey AS VARCHAR)
+                THEN CAST(a.n_nationkey AS VARCHAR) ELSE CAST(b.n_nationkey AS VARCHAR) END AS left_id,
+           CASE WHEN CAST(a.n_nationkey AS VARCHAR) < CAST(b.n_nationkey AS VARCHAR)
+                THEN CAST(b.n_nationkey AS VARCHAR) ELSE CAST(a.n_nationkey AS VARCHAR) END AS right_id,
+           1.0 AS probability
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey
+     AND CAST(a.n_nationkey AS VARCHAR) < CAST(b.n_nationkey AS VARCHAR)
+    """,
+)
+def clusters_to_links_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    clusters = nation.select(
+        F.lit("nation").alias(K.INPUT_RECORD_DATASET),
+        F.col("n_nationkey").cast("string").alias(K.INPUT_RECORD_ID),
+        F.col("n_regionkey").cast("string").alias(K.CLUSTER_ID),
+    )
+    links = G.clusters_to_links(clusters)
+    return links.select(
+        F.col(f"`{K.LEFT_ID}`").alias("left_id"),
+        F.col(f"`{K.RIGHT_ID}`").alias("right_id"),
+        F.col(f"`{K.PROBABILITY}`").alias("probability"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5: canonicalize raw pairs (ref: splink_blocking_and_filtering.py:109-137)
+# ---------------------------------------------------------------------------
+@q(
+    "canonicalize_pairs",
+    """
+    SELECT DISTINCT
+      CASE WHEN l < r THEN l ELSE r END AS left_id,
+      CASE WHEN l < r THEN r ELSE l END AS right_id
+    FROM (
+      SELECT CAST(o_orderkey % 50 AS VARCHAR) AS l,
+             CAST(o_custkey % 50 AS VARCHAR) AS r
+      FROM orders
+    )
+    WHERE l <> r
+    """,
+)
+def canonicalize_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    raw = orders.select(
+        F.lit("d").alias(K.LEFT_DATASET),
+        (F.col("o_orderkey") % 50).cast("string").alias(K.LEFT_ID),
+        F.lit("d").alias(K.RIGHT_DATASET),
+        (F.col("o_custkey") % 50).cast("string").alias(K.RIGHT_ID),
+    )
+    out = B.canonicalize_pairs(raw).dropDuplicates(K.PAIR_COLS)
+    return out.select(
+        F.col(f"`{K.LEFT_ID}`").alias("left_id"),
+        F.col(f"`{K.RIGHT_ID}`").alias("right_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3/O1: top-1 per group via window (ref: one_to_many_links_to_clusters.py:56-62)
+# ---------------------------------------------------------------------------
+@q(
+    "top1_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6: tie counting (ref: one_to_many_links_to_clusters.py:64-73)
+# ---------------------------------------------------------------------------
+@q(
+    "tie_count",
+    """
+    SELECT o_custkey, COUNT(*) AS n_ties
+    FROM orders o
+    JOIN (SELECT o_custkey AS ck, MAX(o_totalprice) AS best
+          FROM orders GROUP BY o_custkey) b
+      ON o.o_custkey = b.ck AND o.o_totalprice = b.best
+    GROUP BY o_custkey
+    """,
+)
+def tie_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    best = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.max("o_totalprice").alias("best")
+    )
+    return (
+        orders.join(
+            best,
+            (orders["o_custkey"] == best["ck"])
+            & (orders["o_totalprice"] == best["best"]),
+        )
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_ties"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2/P6: cluster-size count + size predicate (ref: exclude_clustered.py:68-70)
+# ---------------------------------------------------------------------------
+@q(
+    "cluster_sizes",
+    """
+    SELECT o_custkey AS cluster_id, COUNT(*) AS size
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
+    """,
+)
+def cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_custkey").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("size"))
+        .filter(F.col("size") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4: term-frequency table (ref: splink compute_df_concat_with_tf,
+# splink_blocking_and_filtering.py:46-53)
+# ---------------------------------------------------------------------------
+@q(
+    "term_frequency",
+    """
+    SELECT c_mktsegment AS term, COUNT(*) AS cnt,
+           COUNT(*) / (SELECT COUNT(*) FROM customer) AS tf
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    total = cust.count()
+    return cust.groupBy(F.col("c_mktsegment").alias("term")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        (F.count(F.lit(1)) / F.lit(total)).alias("tf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9: distinct node extraction (ref: splink_links_to_clusters.py:28-34)
+# ---------------------------------------------------------------------------
+@q(
+    "distinct_nodes",
+    """
+    SELECT DISTINCT node FROM (
+      SELECT CAST(l_orderkey AS VARCHAR) AS node FROM lineitem
+      UNION ALL
+      SELECT CAST(l_suppkey AS VARCHAR) FROM lineitem
+    )
+    """,
+)
+def distinct_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(F.col("l_orderkey").cast("string").alias("node"))
+        .union(li.select(F.col("l_suppkey").cast("string")))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7/F6/F7: Fellegi-Sunter scoring over blocked pairs, via the engine's
+# scoring operator (ref lifecycle SURVEY §3.3)
+# ---------------------------------------------------------------------------
+_FS_M = {"nameword": [0.05, 0.95], "type": [0.02, 0.18, 0.80]}
+_FS_U = {"nameword": [0.90, 0.10], "type": [0.80, 0.15, 0.05]}
+_FS_PRIOR = 0.01
+
+
+def _fs_sql() -> str:
+    lw = {
+        k: [math.log2(m / u) for m, u in zip(_FS_M[k], _FS_U[k])]
+        for k in _FS_M
+    }
+    prior_w = math.log2(_FS_PRIOR / (1 - _FS_PRIOR))
+    return f"""
+    WITH p AS (
+      SELECT p_partkey, p_brand, p_size,
+             split_part(p_name, ' ', 1) AS nameword, p_type FROM part
+    ),
+    pairs AS (
+      SELECT a.p_partkey AS lk, b.p_partkey AS rk,
+             a.nameword AS cl, b.nameword AS cr,
+             a.p_type AS tl, b.p_type AS tr
+      FROM p a JOIN p b
+        ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       AND CAST(a.p_partkey AS VARCHAR) < CAST(b.p_partkey AS VARCHAR)
+    ),
+    g AS (
+      SELECT lk, rk,
+        CASE WHEN cl IS NOT NULL AND cr IS NOT NULL AND cl = cr THEN 1 ELSE 0 END AS g_nameword,
+        CASE WHEN tl IS NULL OR tr IS NULL THEN 0
+             WHEN 1.0 - CAST(levenshtein(tl, tr) AS DOUBLE)
+                  / GREATEST(length(tl), length(tr)) >= 0.9 THEN 2
+             WHEN 1.0 - CAST(levenshtein(tl, tr) AS DOUBLE)
+                  / GREATEST(length(tl), length(tr)) >= 0.6 THEN 1
+             ELSE 0 END AS g_type
+      FROM pairs
+    )
+    SELECT CAST(lk AS VARCHAR) AS left_id, CAST(rk AS VARCHAR) AS right_id,
+           g_nameword, g_type,
+           ROUND({prior_w!r}
+             + CASE g_nameword WHEN 1 THEN {lw['nameword'][1]!r} ELSE {lw['nameword'][0]!r} END
+             + CASE g_type WHEN 2 THEN {lw['type'][2]!r} WHEN 1 THEN {lw['type'][1]!r}
+                           ELSE {lw['type'][0]!r} END, 6) AS match_weight
+    FROM g
+    """
+
+
+@q("fs_score", _fs_sql())
+def fs_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from easylink_spark.functions import comparators as C
+
+    part = _t(spark, sf_dir, "part")
+    records = part.select(
+        F.lit("part").alias(K.INPUT_RECORD_DATASET),
+        F.col("p_partkey").cast("string").alias(K.INPUT_RECORD_ID),
+        F.concat_ws("|", "p_brand", "p_size").alias("bkey"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("nameword"),
+        F.col("p_type").alias("type"),
+    )
+    pairs = B.block_on_key(records, F.col("bkey"))
+    comps = [
+        S.Comparison("nameword", "nameword",
+                     S._leveled(C.exact_match, [0.5]),
+                     m=_FS_M["nameword"], u=_FS_U["nameword"]),
+        S.Comparison("type", "type",
+                     S._leveled(C.levenshtein_similarity, [0.9, 0.6]),
+                     m=_FS_M["type"], u=_FS_U["type"]),
+    ]
+    attrs = S.attach_pair_attributes(pairs, records, ["nameword", "type"])
+    gammas = S.compute_gammas(attrs, comps)
+    scored = S.fs_probability(gammas, comps, _FS_PRIOR)
+    return scored.select(
+        F.col(f"`{K.LEFT_ID}`").alias("left_id"),
+        F.col(f"`{K.RIGHT_ID}`").alias("right_id"),
+        F.col("gamma_nameword").alias("g_nameword"),
+        F.col("gamma_type").alias("g_type"),
+        F.round("match_weight", 6).alias("match_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G1: connected components vs a recursive-CTE transitive-closure oracle
+# ---------------------------------------------------------------------------
+_CC_SQL = """
+WITH RECURSIVE
+e AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS a, CAST(c_custkey + 1 AS VARCHAR) AS b
+  FROM customer
+  WHERE c_custkey <= 499 AND c_custkey % 5 <> 0
+),
+bi AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+reach AS (
+  SELECT a AS src, b AS dst FROM bi
+  UNION
+  SELECT r.src, bi.b FROM reach r JOIN bi ON r.dst = bi.a
+)
+SELECT src AS node, LEAST(src, MIN(dst)) AS component
+FROM reach GROUP BY src
+"""
+
+
+@q("connected_components", _CC_SQL)
+def connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter("c_custkey <= 499")
+    edges = cust.filter("c_custkey % 5 <> 0").select(
+        F.col("c_custkey").cast("string").alias("src"),
+        (F.col("c_custkey") + 1).cast("string").alias("dst"),
+    )
+    return G.connected_components(edges)
+
+
+# ---------------------------------------------------------------------------
+# Dedup family over documents
+# ---------------------------------------------------------------------------
+@q(
+    "exact_dedup",
+    """
+    SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5(F.col("text")).alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_id")
+    )
+
+
+@q(
+    "ngram_jaccard_dedup",
+    """
+    WITH d AS (
+      SELECT doc_id, source, list_distinct(str_split(text, ' ')) AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+           ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+    FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.4
+    """,
+)
+def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from easylink_spark.functions.comparators import token_set_jaccard
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    j = token_set_jaccard(F.col("a.text"), F.col("b.text"))
+    return (
+        docs.alias("a")
+        .join(
+            docs.alias("b"),
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("left_id"),
+            F.col("b.doc_id").alias("right_id"),
+            F.round(j, 6).alias("jaccard"),
+            j.alias("_raw"),
+        )
+        .filter(F.col("_raw") >= 0.4)
+        .drop("_raw")
+    )
+
+
+@q(
+    "doc_fingerprint",
+    """
+    WITH d AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             md5(array_to_string(toks[g.i : g.i + 4], ' ')) AS h
+      FROM d, LATERAL (
+        SELECT UNNEST(generate_series(1, GREATEST(len(toks) - 4, 1))) AS i
+      ) g
+    )
+    SELECT doc_id, MIN(h) AS fingerprint FROM sh GROUP BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.greatest(F.size(toks) - 4, F.lit(1))
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 5))),
+            )
+        ).alias("h"),
+    )
+    return sh.groupBy("doc_id").agg(F.min("h").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over documents
+# ---------------------------------------------------------------------------
+_STOPWORDS = "('the','a','of','and','to','in','is','it','on','for')"
+
+
+@q(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+           len(str_split(text, ' ')) AS n_tokens,
+           len(list_filter(str_split(text, ' '), x -> x IN {_STOPWORDS})) AS n_stop,
+           ROUND(CAST(len(list_filter(str_split(text, ' '), x -> x IN {_STOPWORDS})) AS DOUBLE)
+                 / len(str_split(text, ' ')), 6) AS stop_ratio,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stops = [s.strip("'") for s in _STOPWORDS.strip("()").split(",")]
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(stops)))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        n_stop.alias("n_stop"),
+        F.round(n_stop.cast("double") / F.size(toks), 6).alias("stop_ratio"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: brute-force cosine top-k over embeddings
+# ---------------------------------------------------------------------------
+@q(
+    "ann_cosine_topk",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 10),
+    s AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             list_dot_product(q.v, e.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+      FROM q JOIN e ON q.vec_id <> e.vec_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rn
+          FROM s)
+    WHERE rn <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    queries = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    joined = queries.crossJoin(emb).filter(F.col("query_id") != F.col("vec_id"))
+    cos = dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        joined.withColumn("cos", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 5")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window ops: sessionization over the events stream table
+# ---------------------------------------------------------------------------
+@q(
+    "events_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_sec = F.col("ts").cast("timestamp").cast("long")
+    lag_sec = F.lag(ts_sec).over(w)
+    new_s = F.when(lag_sec.isNull() | (ts_sec - lag_sec > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_s)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only entries (non-SQL-expressible: iterative LSH banding / the full
+# pipeline) — driver records row-count-only checks; pytest covers semantics.
+# ---------------------------------------------------------------------------
+@q("minhash_lsh_dedup", None)
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    records = docs.select(
+        F.lit("documents").alias(K.INPUT_RECORD_DATASET),
+        F.col("doc_id").cast("string").alias(K.INPUT_RECORD_ID),
+        F.col("text"),
+    )
+    pairs = B.block_minhash_lsh(records, "text", num_hashes=32, bands=8)
+    return pairs.select(
+        F.col(f"`{K.LEFT_ID}`").alias("left_id"),
+        F.col(f"`{K.RIGHT_ID}`").alias("right_id"),
+    )
+
+
+@q("transcript_dedup_pipeline", None)
+def transcript_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from easylink_spark.plans.dedup import DedupConfig, run_dedup
+    from easylink_spark.synth import synth_transcripts
+
+    t = synth_transcripts(spark, n_entities=150, seed=42).drop("entity_id")
+    ckpt = tempfile.mkdtemp(prefix="elspark_driver_")
+    clusters = run_dedup(spark, t, ckpt, DedupConfig())
+    return clusters.select(
+        F.col(f"`{K.INPUT_RECORD_ID}`").alias("record_id"),
+        F.col(f"`{K.CLUSTER_ID}`").alias("cluster_id"),
+    )
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

@@ -29,6 +29,16 @@ def get_spark(
     master at all via spark-submit; this helper only sets a master when one
     is not already configured.
     """
+    # Ensure the package root is importable by executor Python workers
+    # (pickled UDF closures reference easylink_spark modules); on a real
+    # cluster this is spark-submit --py-files, locally it's PYTHONPATH.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
+
     cores_env = os.environ.get("SPARK_GRAFT_CPUS")
     if cores is None and cores_env:
         cores = int(cores_env)
