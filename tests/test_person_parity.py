@@ -1,0 +1,126 @@
+"""Reference-shaped person linkage parity test (FIXTURES.md §2).
+
+Two datasets ds_a / ds_b with person attributes and typo noise; truth via a
+simulant_id column (same role as the reference fixtures' simulant_id in
+steps/rl-dummy/input_data).  Assert the pipeline recovers the truth
+partition and that one-to-many semantics hold against a no-duplicates
+dataset.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from easylink_spark import contracts as K
+from easylink_spark.plans.person_linkage import (
+    PersonLinkageConfig,
+    align_person_schema,
+    run_person_linkage,
+)
+
+FIRST = ["alice", "robert", "maria", "james", "linda", "david", "susan",
+         "michael", "karen", "thomas", "nancy", "daniel", "emma", "carlos",
+         "sofia", "peter"]
+LAST = ["smith", "johnson", "garcia", "miller", "davis", "martinez",
+        "lopez", "wilson", "anderson", "taylor", "moore", "jackson",
+        "thompson", "white", "harris", "clark"]
+
+
+def _typo(s: str, rng: random.Random) -> str:
+    if len(s) < 4:
+        return s
+    i = rng.randrange(1, len(s) - 1)
+    op = rng.random()
+    if op < 0.5:  # transpose
+        return s[:i] + s[i + 1] + s[i] + s[i + 2:]
+    return s[:i] + s[i + 1:]  # deletion
+
+
+def make_person_datasets(spark, n_people=80, seed=5):
+    rng = random.Random(seed)
+    rows_a, rows_b, truth = [], [], []
+    for pid in range(n_people):
+        first = FIRST[rng.randrange(len(FIRST))]
+        last = LAST[rng.randrange(len(LAST))]
+        dob = f"19{rng.randrange(40, 99):02d}{rng.randrange(1, 13):02d}{rng.randrange(1, 29):02d}"
+        ssn = f"{rng.randrange(100,999)}-{rng.randrange(10,99)}-{rng.randrange(1000,9999)}"
+        rows_a.append((pid, first, last, dob, ssn, f"sim_{pid}"))
+        truth.append(("ds_a", str(pid), f"sim_{pid}"))
+        if rng.random() < 0.6:  # 60% of people also in ds_b, with noise
+            f2 = _typo(first, rng) if rng.random() < 0.3 else first
+            l2 = last  # keep last name stable (blocking anchor)
+            ssn2 = ssn if rng.random() < 0.8 else ssn.replace("-", "")
+            rows_b.append((1000 + pid, f2, l2, dob, ssn2, f"sim_{pid}"))
+            truth.append(("ds_b", str(1000 + pid), f"sim_{pid}"))
+    schema = (
+        f"`{K.RECORD_ID}` long, first_name string, last_name string, "
+        "date_of_birth string, ssn string, simulant_id string"
+    )
+    ds_a = spark.createDataFrame(rows_a, schema)
+    ds_b = spark.createDataFrame(rows_b, schema)
+    truth_df = spark.createDataFrame(
+        truth, "ds string, rid string, simulant_id string"
+    )
+    return {"ds_a": ds_a, "ds_b": ds_b}, truth_df
+
+
+def test_align_person_schema(spark):
+    datasets, _ = make_person_datasets(spark, 20)
+    records = align_person_schema(datasets)
+    assert records.count() == sum(df.count() for df in datasets.values())
+    assert {r[K.INPUT_RECORD_DATASET] for r in
+            records.select(K.INPUT_RECORD_DATASET).distinct().collect()} == {
+        "ds_a", "ds_b"}
+
+
+def test_person_linkage_recovers_truth(spark):
+    datasets, truth = make_person_datasets(spark, 80)
+    clusters = run_person_linkage(spark, datasets)
+
+    # predicted partition (cross-dataset keys)
+    pred = {}
+    for r in clusters.collect():
+        key = (r[K.INPUT_RECORD_DATASET], str(r[K.INPUT_RECORD_ID]))
+        pred.setdefault(r[K.CLUSTER_ID], set()).add(key)
+    pred_partition = {frozenset(v) for v in pred.values()}
+
+    # truth partition restricted to simulants present in both datasets
+    tr = {}
+    for r in truth.collect():
+        tr.setdefault(r["simulant_id"], set()).add((r["ds"], r["rid"]))
+    truth_partition = {frozenset(v) for v in tr.values() if len(v) > 1}
+
+    # pairwise F1
+    def pairs_of(partition):
+        out = set()
+        for grp in partition:
+            grp = sorted(grp)
+            for i in range(len(grp)):
+                for j in range(i + 1, len(grp)):
+                    out.add((grp[i], grp[j]))
+        return out
+
+    tp = len(pairs_of(pred_partition) & pairs_of(truth_partition))
+    fp = len(pairs_of(pred_partition) - pairs_of(truth_partition))
+    fn = len(pairs_of(truth_partition) - pairs_of(pred_partition))
+    f1 = 2 * tp / (2 * tp + fp + fn) if tp else 0.0
+    assert f1 >= 0.95, f"person linkage F1 {f1:.3f} (tp={tp} fp={fp} fn={fn})"
+
+
+def test_person_one_to_many(spark):
+    datasets, _ = make_person_datasets(spark, 40)
+    clusters = run_person_linkage(
+        spark, datasets,
+        PersonLinkageConfig(no_duplicates_dataset="ds_a", threshold=0.9),
+    )
+    # every cluster has at most one ds_a record
+    sizes = (
+        clusters.filter(F.col(f"`{K.INPUT_RECORD_DATASET}`") == "ds_a")
+        .groupBy(f"`{K.CLUSTER_ID}`")
+        .count()
+        .filter("count > 1")
+    )
+    assert sizes.count() == 0
