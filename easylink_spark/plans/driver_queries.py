@@ -631,9 +631,110 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Language ID + quality scoring (textops) with SQL oracles
+# ---------------------------------------------------------------------------
+def _lang_sql() -> str:
+    from easylink_spark.operators.textops import _LANG_PROFILES
+
+    cnt = {
+        lang: (
+            "len(list_filter(str_split(lower(text), ' '), "
+            f"x -> x IN ({', '.join(repr(w) for w in words)})))"
+        )
+        for lang, words in sorted(_LANG_PROFILES.items())
+    }
+    langs = sorted(cnt)
+    best = "GREATEST(" + ", ".join(cnt[l] for l in langs) + ")"
+    # earlier language codes win ties (matches the Spark-side tie break)
+    case = "CASE "
+    for l in langs:
+        case += f"WHEN {best} > 0 AND {cnt[l]} = {best} THEN '{l}' "
+    case += "ELSE 'und' END"
+    return f"SELECT doc_id, {case} AS lang_pred FROM documents"
+
+
+@q("language_id", _lang_sql())
+def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from easylink_spark.operators.textops import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", language_id(F.col("text")).alias("lang_pred"))
+
+
+@q(
+    "quality_score",
+    """
+    SELECT doc_id,
+           len(str_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars,
+           ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                 / GREATEST(length(text), 1), 6) AS punct_ratio,
+           len(str_split(text, ' ')) >= 5
+             AND (length(text) - len(str_split(text, ' ')) + 1)
+                 / len(str_split(text, ' ')) BETWEEN 2.0 AND 12.0 AS quality_ok
+    FROM documents
+    """,
+)
+def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from easylink_spark.operators.textops import quality_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = quality_features(docs, "text")
+    return out.select("doc_id", "n_tokens", "n_chars", "punct_ratio",
+                      "quality_ok")
+
+
+@q(
+    "token_count",
+    """
+    SELECT doc_id,
+           len(str_split(text, ' ')) AS ws_tokens,
+           CAST(CEIL(length(text) / 4.0) AS BIGINT) AS bpe_est_tokens
+    FROM documents
+    """,
+)
+def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from easylink_spark.operators.textops import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    tc = token_count(F.col("text"))
+    return docs.select("doc_id", tc["ws_tokens"].alias("ws_tokens"),
+                       tc["bpe_est_tokens"].alias("bpe_est_tokens"))
+
+
+# ---------------------------------------------------------------------------
 # Rows-only entries (non-SQL-expressible: iterative LSH banding / the full
 # pipeline) — driver records row-count-only checks; pytest covers semantics.
 # ---------------------------------------------------------------------------
+@q("simhash_near_dup", None)
+def simhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from easylink_spark.operators.textops import simhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_signatures(docs, "text", "doc_id").select(
+        F.col("_id").alias("doc_id"), "simhash"
+    )
+
+
+@q("embedding_near_dup", None)
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random embeddings have no natural near-duplicates, so the query
+    plants deterministic ones: vectors 0-19 get a slightly-scaled copy at
+    vec_id+100000 (cosine 1.0 up to float error); the LSH path must recover
+    exactly those pairs plus any true dups."""
+    from easylink_spark.operators.textops import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = (
+        emb.filter("vec_id < 20")
+        .select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(1.0001)).alias("embedding"),
+        )
+    )
+    both = emb.select("vec_id", "embedding").unionByName(planted)
+    return embedding_near_dup_pairs(both, "embedding", "vec_id", dim=64,
+                                    min_cosine=0.98)
 @q("minhash_lsh_dedup", None)
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")

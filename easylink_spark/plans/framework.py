@@ -1,0 +1,137 @@
+"""Pipeline framework: typed stages with validated slots (SURVEY.md §2.12).
+
+The reference's core framework contribution is a step graph with validated
+data contracts on every edge (Step/slots: step.py:41-134; validators as
+edges: rule.py:215-253), plus graph operators that expand to a flat DAG:
+LoopStep (step.py:1102-1218), CloneableStep (:1221-1289), ChoiceStep
+(:1675-1825), HierarchicalStep (:546-821), AutoParallelStep (:1291-1570).
+
+This module is the in-process Spark equivalent:
+
+- ``Stage``: a named task with named input/output slots, each slot carrying
+  an optional contract validator that runs at the boundary (the reference's
+  InputValidationRule analog);
+- ``Pipeline.run``: topological execution over a slot-name dataflow, with
+  optional StageRunner checkpointing per stage output;
+- graph operators as plain combinators: ``loop`` (LoopStep: N serial copies
+  with output->input self-edge), ``clone`` (CloneableStep: N parallel copies
+  + union aggregator), ``choice`` (ChoiceStep: config-keyed variant pick).
+  AutoParallelStep needs no analog — Spark partitioning subsumes splitter/
+  aggregator chunking (SURVEY §2.12 / rule.py:257-406).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import DataFrame
+
+Validator = Callable[[DataFrame], DataFrame]
+StageFn = Callable[[dict[str, DataFrame]], dict[str, DataFrame]]
+
+
+@dataclass
+class Slot:
+    name: str
+    validator: Validator | None = None
+
+    def validate(self, df: DataFrame) -> DataFrame:
+        return self.validator(df) if self.validator else df
+
+
+@dataclass
+class Stage:
+    """A unit task: named validated inputs -> named validated outputs."""
+
+    name: str
+    fn: StageFn
+    inputs: list[Slot] = field(default_factory=list)
+    outputs: list[Slot] = field(default_factory=list)
+
+    def run(self, env: dict[str, DataFrame]) -> dict[str, DataFrame]:
+        missing = [s.name for s in self.inputs if s.name not in env]
+        if missing:
+            raise KeyError(f"stage {self.name}: missing input slots {missing}")
+        ins = {s.name: s.validate(env[s.name]) for s in self.inputs}
+        outs = self.fn(ins)
+        produced = {}
+        for s in self.outputs:
+            if s.name not in outs:
+                raise KeyError(f"stage {self.name}: did not produce slot {s.name}")
+            produced[s.name] = s.validate(outs[s.name])
+        return produced
+
+
+@dataclass
+class Pipeline:
+    stages: list[Stage]
+
+    def run(
+        self,
+        sources: dict[str, DataFrame],
+        runner=None,
+    ) -> dict[str, DataFrame]:
+        """Execute stages in order (callers topologically order; slot-name
+        dataflow).  With a StageRunner, each produced slot checkpoints as
+        ``<stage>__<slot>`` with lineage on the stage's input slots."""
+        env = dict(sources)
+        produced_by: dict[str, str] = {}
+        for st in self.stages:
+            outs = st.run(env)
+            if runner is not None:
+                for slot, df in outs.items():
+                    deps = [produced_by[s.name] for s in st.inputs
+                            if s.name in produced_by]
+                    outs[slot] = runner.stage(
+                        f"{st.name}__{slot}", lambda d=df: d, inputs=deps
+                    )
+                    produced_by[slot] = f"{st.name}__{slot}"
+            env.update(outs)
+        return env
+
+
+# ---------------------------------------------------------------------------
+# Graph operators as combinators
+# ---------------------------------------------------------------------------
+def loop(stage: Stage, n: int, carry_slot: str) -> Stage:
+    """LoopStep: unroll n serial copies; the carry slot chains output->input
+    (step.py:1102-1218; cascading self-edge main.py:430-437)."""
+
+    def fn(ins: dict[str, DataFrame]) -> dict[str, DataFrame]:
+        env = dict(ins)
+        for _ in range(n):
+            outs = stage.fn(env)
+            env[carry_slot] = outs[carry_slot]
+            env.update(outs)
+        return {s.name: env[s.name] for s in stage.outputs}
+
+    return Stage(f"{stage.name}_x{n}", fn, stage.inputs, stage.outputs)
+
+
+def clone(stage: Stage, param_sets: list[dict], out_slot: str) -> Stage:
+    """CloneableStep: N parallel copies over param variants, results
+    union-by-name aggregated (step.py:1221-1289; aggregator
+    aggregator_utils.py:16-29)."""
+
+    def fn(ins: dict[str, DataFrame]) -> dict[str, DataFrame]:
+        results = []
+        for params in param_sets:
+            outs = stage.fn({**ins, **params})
+            results.append(outs[out_slot])
+        merged = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), results
+        )
+        return {out_slot: merged}
+
+    return Stage(f"{stage.name}_clone{len(param_sets)}", fn, stage.inputs,
+                 [s for s in stage.outputs if s.name == out_slot])
+
+
+def choice(variants: dict[str, Stage], key: str) -> Stage:
+    """ChoiceStep: pick one sub-graph variant by config key
+    (step.py:1675-1825)."""
+    if key not in variants:
+        raise ValueError(f"unknown choice {key!r}; have {sorted(variants)}")
+    return variants[key]

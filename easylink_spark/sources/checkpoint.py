@@ -111,13 +111,23 @@ class StageRunner:
         stored = self.read(name)
         if validator is not None:
             validator(stored)
-        per_part = [
-            (r["p"], r["n"])
-            for r in stored.groupBy(F.spark_partition_id().alias("p"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        ]
-        n_rows = sum(n for _, n in per_part)
+        # Per-partition lineage counters cost one extra scan; the row total
+        # comes from a cheap count on the stored table.  Full per-partition
+        # detail is opt-in (EASYLINK_LINEAGE_DETAIL=1) — at bench/production
+        # scale the count-only manifest keeps stage boundaries one-job.
+        import os
+
+        if os.environ.get("EASYLINK_LINEAGE_DETAIL", "0") == "1":
+            per_part = [
+                (r["p"], r["n"])
+                for r in stored.groupBy(F.spark_partition_id().alias("p"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            ]
+            n_rows = sum(n for _, n in per_part)
+        else:
+            per_part = []
+            n_rows = stored.count()
         manifest = {
             "stage": name,
             "config_hash": self.config_hash,

@@ -1,0 +1,136 @@
+"""Text-corpus operator tests (dedup family, text analysis, multimodal)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from easylink_spark.operators import textops as T
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keys(spark):
+    df = _docs(spark, [(1, "same text"), (2, "same text"), (3, "other")])
+    out = {r["canonical_id"]: r["n_docs"]
+           for r in T.exact_dedup_keys(df, "text", "doc_id").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_simhash_properties(spark):
+    df = _docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog today"),   # near-dup
+        (3, "completely different tokens about spark shuffles joins"),
+        (4, "the quick brown fox jumps over the lazy dog tonight"),  # exact
+    ])
+    sh = {r["_id"]: r["simhash"]
+          for r in T.simhash_signatures(df, "text", "doc_id").collect()}
+    assert sh[1] == sh[4]  # deterministic, equal for equal text
+    mask = 0xFFFFFFFFFFFFFFFF  # signed long -> unsigned bit pattern
+    ham12 = bin((sh[1] ^ sh[2]) & mask).count("1")
+    ham13 = bin((sh[1] ^ sh[3]) & mask).count("1")
+    assert ham12 < ham13, (ham12, ham13)
+
+
+def test_simhash_near_dup_pairs(spark):
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+            "kilo lima mike november oscar papa quebec romeo sierra tango "
+            "uniform victor whiskey xray yankee zulu anchor beacon compass")
+    near = base.replace("compass", "drift")  # 1 of 29 tokens changed
+    other = ("gear hinge ingot joule kelvin lever magnet nozzle piston "
+             "quark rotor spring torque valve watt xenon zinc arc beam cone "
+             "disc edge face grid helix iris knot line mesh")
+    df = _docs(spark, [(1, base), (2, near), (3, other)])
+    pairs = {(r["left_id"], r["right_id"])
+             for r in T.simhash_near_dup_pairs(df, "text", "doc_id",
+                                               max_hamming=7, bands=8).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_embedding_near_dup(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal(16)
+    near = base + rng.standard_normal(16) * 0.03
+    far = rng.standard_normal(16)
+    df = spark.createDataFrame(
+        [(1, base.tolist()), (2, near.tolist()), (3, far.tolist())],
+        "vec_id long, embedding array<double>",
+    )
+    out = T.embedding_near_dup_pairs(df, "embedding", "vec_id", dim=16,
+                                     min_cosine=0.95)
+    got = {(r["left_id"], r["right_id"]) for r in out.collect()}
+    assert got == {(1, 2)}
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is warm"),
+            (2, "el gato que vive en la casa y los perros"),
+            (3, "der hund und die katze das ist nicht ein problem"),
+            (4, "xyzzy plugh qwerty"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang"] for r in df.select(
+        "doc_id", T.language_id(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+
+def test_quality_features(spark):
+    df = _docs(spark, [(1, "the quick brown fox jumps over it"),
+                       (2, "x")])
+    rows = {r["doc_id"]: r for r in
+            T.quality_features(df, "text").collect()}
+    assert rows[1]["n_tokens"] == 7
+    assert rows[1]["quality_ok"] is True
+    assert rows[2]["quality_ok"] is False
+    assert 0 < rows[1]["stop_ratio"] < 1
+
+
+def test_token_count(spark):
+    df = _docs(spark, [(1, "one two three four")])
+    r = df.select(T.token_count(F.col("text")).alias("tc")).collect()[0]["tc"]
+    assert r["ws_tokens"] == 4
+    assert r["bpe_est_tokens"] == 5  # ceil(18/4)
+
+
+def test_fingerprint_stability(spark):
+    df = _docs(spark, [(1, "a b c d e f g h"), (2, "a b c d e f g h"),
+                       (3, "totally different words here now ok yes")])
+    fp = {r["_id"]: r["fingerprint"]
+          for r in T.fingerprint_minhash(df, "text", "doc_id").collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+def test_multimodal_plumbing(spark):
+    from easylink_spark.operators import multimodal as M
+
+    rows = [
+        ("m1", "image", bytearray(b"imgbytes1"), ("image/png", 64, 48, None, None)),
+        ("m2", "audio", bytearray(b"audiobytes"), ("audio/wav", None, None, 16000, 2000)),
+        ("m3", "video", bytearray(b"videobytes"), ("video/mp4", 320, 240, None, 2500)),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    feats = M.extract_features(media).collect()
+    assert len(feats) == 3
+    by_id = {r["media_id"]: r for r in feats}
+    assert len(by_id["m1"]["feature"]) == M.FEATURE_DIM
+    assert by_id["m1"]["n_bytes"] == 9
+    # deterministic: same payload -> same features
+    feats2 = {r["media_id"]: r["feature"]
+              for r in M.extract_features(media).collect()}
+    assert feats2["m2"] == by_id["m2"]["feature"]
+
+    frames = M.sample_video_frames(media, every_ms=1000).collect()
+    assert {r["frame_ts_ms"] for r in frames} == {0, 1000, 2000}
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        M.extract_features(media, decode="real")
