@@ -113,12 +113,24 @@ def block_on_key(
     tasks.  Small blocks take the S=1 fast path untouched.
     """
     keyed = _keyed(records, key)
-    sizes = keyed.groupBy("_bkey").agg(F.count(F.lit(1)).alias("_bn"))
-    salted = keyed.join(F.broadcast(sizes), "_bkey").withColumn(
+    # Broadcast only the HOT keys (count > threshold) — a handful even at
+    # 10^11 records — never the full key-cardinality size table (whose
+    # driver-side broadcast build is a serial bottleneck).  Cold keys get
+    # salt factor 1 via the null branch of the left join.
+    hot = (
+        keyed.groupBy("_bkey")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") > hot_block_threshold)
+    )
+    salted = keyed.join(F.broadcast(hot), "_bkey", "left").withColumn(
         "_s",
-        F.least(
-            F.lit(max_salt),
-            F.ceil(F.col("_bn") / F.lit(hot_block_threshold)),
+        F.when(
+            F.col("_bn").isNull(), F.lit(1)
+        ).otherwise(
+            F.least(
+                F.lit(max_salt),
+                F.ceil(F.col("_bn") / F.lit(hot_block_threshold)),
+            )
         ).cast("int"),
     )
     left = salted.withColumn(
@@ -222,11 +234,15 @@ def block_minhash_lsh(
         ])).alias("_bb"),
     ).select("_ds", "_id", "_rk", "_bb.band", "_bb.bucket")
 
-    sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_bn"))
-    ok = banded.join(
-        F.broadcast(sizes.filter(F.col("_bn") <= hot_bucket_cap)),
-        ["band", "bucket"],
+    # drop HOT buckets via a broadcast anti join — the hot set is tiny (or
+    # empty), unlike the full bucket-size table, whose broadcast build cost
+    # was a measured serial bottleneck
+    hot = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") > hot_bucket_cap)
     )
+    ok = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     pairs = (
         ok.alias("l")
         .join(

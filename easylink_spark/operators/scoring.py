@@ -122,7 +122,12 @@ def attach_pair_attributes(
     ``<col>_l`` / ``<col>_r`` attribute columns (reference J3:
     compute_comparison_vector_values_from_id_pairs joins, lifecycle §3.3)."""
     def side(suffix: str) -> DataFrame:
-        return records.select(
+        # SHUFFLE_HASH: the records table carries fat text/array attribute
+        # columns — a driver-built broadcast of it is a measured serial
+        # bottleneck, and at 10^11 records it would not fit anyway.  A
+        # shuffle-hash join partitions both sides and builds per-partition
+        # hash tables (no sort on the fat side).
+        return records.hint("SHUFFLE_HASH").select(
             F.col(f"`{INPUT_RECORD_DATASET}`").alias(f"_ds_{suffix}"),
             F.col(f"`{INPUT_RECORD_ID}`").alias(f"_id_{suffix}"),
             *[F.col(f"`{c}`").alias(f"{c}_{suffix}") for c in cols],
