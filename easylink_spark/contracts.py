@@ -151,10 +151,11 @@ def validate_records(df: DataFrame) -> DataFrame:
 def _canonical_violation(df: DataFrame) -> Column:
     """Rows violating canonical pair order (validation_utils.py:294-335):
     left dataset must sort <= right dataset; when datasets are equal the left
-    id must sort strictly < right id (this also bans self-pairs)."""
+    id must sort strictly < right id (this also bans self-pairs).  Ids are
+    compared on their native type — integer ids numerically, mirroring the
+    reference's astype(int) validation (validation_utils._validate_pairs)."""
     lds, rds = F.col(f"`{LEFT_DATASET}`"), F.col(f"`{RIGHT_DATASET}`")
-    lid = F.col(f"`{LEFT_ID}`").cast("string")
-    rid = F.col(f"`{RIGHT_ID}`").cast("string")
+    lid, rid = F.col(f"`{LEFT_ID}`"), F.col(f"`{RIGHT_ID}`")
     return (lds > rds) | ((lds == rds) & (lid >= rid))
 
 

@@ -132,18 +132,46 @@ def _jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
     return jaro
 
 
+try:  # C-implemented JW when available (same algorithm, ~50x faster)
+    from rapidfuzz.distance.JaroWinkler import similarity as _rf_jw  # type: ignore
+
+    _HAVE_RAPIDFUZZ = True
+except Exception:  # pragma: no cover - sandbox has no rapidfuzz
+    _HAVE_RAPIDFUZZ = False
+
+
 @F.pandas_udf(DoubleType())
 def jaro_winkler_udf(l: pd.Series, r: pd.Series) -> pd.Series:
     """Batched Jaro-Winkler similarity (F8).  One Arrow transfer per batch
-    of spark.sql.execution.arrow.maxRecordsPerBatch rows."""
-    out = np.zeros(len(l))
-    lv, rv = l.to_numpy(dtype=object), r.to_numpy(dtype=object)
-    for i in range(len(out)):
-        a, b = lv[i], rv[i]
-        if a is None or b is None or (isinstance(a, float)) or (isinstance(b, float)):
-            out[i] = 0.0
-        else:
-            out[i] = _jaro_winkler(a, b)
+    of spark.sql.execution.arrow.maxRecordsPerBatch rows.
+
+    Batch-level fast paths (blocked candidate pairs are duplicate-heavy):
+    - equal strings score 1.0 with a vectorized numpy compare, no Python
+      string loop (most near-duplicate pairs agree exactly on the compared
+      field);
+    - the remaining rows are deduplicated to UNIQUE (l, r) value pairs
+      before the O(len^2) inner loop, then scattered back — common values
+      (boilerplate first turns, frequent names) are scored once per batch.
+    """
+    lv = l.to_numpy(dtype=object)
+    rv = r.to_numpy(dtype=object)
+    n = len(lv)
+    valid = np.fromiter(
+        (isinstance(a, str) and isinstance(b, str) for a, b in zip(lv, rv)),
+        dtype=bool, count=n,
+    )
+    out = np.zeros(n)
+    eq = valid & (lv == rv)
+    out[eq] = 1.0
+    todo = valid & ~eq
+    if todo.any():
+        pair_index = pd.MultiIndex.from_arrays([lv[todo], rv[todo]])
+        codes, uniques = pd.factorize(pair_index)
+        fn = _rf_jw if _HAVE_RAPIDFUZZ else _jaro_winkler
+        uniq_scores = np.fromiter(
+            (fn(a, b) for a, b in uniques), dtype=float, count=len(uniques)
+        )
+        out[todo] = uniq_scores[codes]
     return pd.Series(out)
 
 

@@ -43,41 +43,42 @@ except Exception:  # pragma: no cover
 
 
 def _assign_block(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.copy()
-    pdf["_logit"] = pdf["_p"].clip(1e-9, 1 - 1e-9).map(
-        lambda p: math.log(p / (1 - p))
-    )
-    if _HAVE_SCIPY and len(pdf) > 1:
-        lefts = sorted(pdf["_lk"].unique())
-        rights = sorted(pdf["_rk"].unique())
-        li = {k: i for i, k in enumerate(lefts)}
-        ri = {k: i for i, k in enumerate(rights)}
-        # maximize sum logit -> cost = -logit, missing pairs strongly penalized
-        import numpy as np
+    import numpy as np
 
+    pdf = pdf.copy()
+    p = pdf["_p"].to_numpy(dtype=float).clip(1e-9, 1 - 1e-9)
+    logit = np.log(p / (1 - p))
+    pdf["_logit"] = logit
+    if _HAVE_SCIPY and len(pdf) > 1:
+        # cost matrix via numpy fancy indexing — no per-row Python loop
+        l_codes, lefts = pd.factorize(pdf["_lk"], sort=True)
+        r_codes, rights = pd.factorize(pdf["_rk"], sort=True)
+        # maximize sum logit -> cost = -logit, missing pairs strongly penalized
         cost = np.full((len(lefts), len(rights)), 1e9)
-        for _, row in pdf.iterrows():
-            cost[li[row["_lk"]], ri[row["_rk"]]] = -row["_logit"]
+        cost[l_codes, r_codes] = -logit
         r_idx, c_idx = linear_sum_assignment(cost)
-        chosen = {
-            (lefts[r], rights[c]) for r, c in zip(r_idx, c_idx)
-            if cost[r, c] < 1e8
-        }
-        mask = [
-            (row["_lk"], row["_rk"]) in chosen for _, row in pdf.iterrows()
-        ]
+        ok = cost[r_idx, c_idx] < 1e8
+        chosen = np.zeros((len(lefts), len(rights)), dtype=bool)
+        chosen[r_idx[ok], c_idx[ok]] = True
+        mask = chosen[l_codes, r_codes]
         return pdf[mask].drop(columns=["_logit"])
-    # greedy fallback: deterministic order, each key used once
+    # greedy fallback: deterministic order, each key used once — vectorized
+    # scan over numpy arrays instead of iterrows
     pdf = pdf.sort_values(["_logit", "_lk", "_rk"],
                           ascending=[False, True, True])
-    used_l, used_r, keep = set(), set(), []
-    for idx, row in pdf.iterrows():
-        if row["_lk"] in used_l or row["_rk"] in used_r:
+    lks = pdf["_lk"].to_numpy(dtype=object)
+    rks = pdf["_rk"].to_numpy(dtype=object)
+    used_l: set = set()
+    used_r: set = set()
+    keep = np.zeros(len(pdf), dtype=bool)
+    for i in range(len(pdf)):
+        lk, rk = lks[i], rks[i]
+        if lk in used_l or rk in used_r:
             continue
-        used_l.add(row["_lk"])
-        used_r.add(row["_rk"])
-        keep.append(idx)
-    return pdf.loc[keep].drop(columns=["_logit"])
+        used_l.add(lk)
+        used_r.add(rk)
+        keep[i] = True
+    return pdf[keep].drop(columns=["_logit"])
 
 
 def one_to_one_assignment(links: DataFrame, block_col: str = "block_id") -> DataFrame:

@@ -19,8 +19,9 @@ semantics are Spark-native, with three rule families per the north rule:
    MLlib overhead, deterministic across parallelism levels.
 3. **Sorted neighborhood** (``block_sorted_neighborhood``): rows within a
    +/-w window of the records sorted by a key.  Distributed via fixed prefix
-   bucketing + per-bucket sort inside ``applyInPandas``, with next-bucket
-   head replication so windows spanning bucket boundaries are not lost.
+   bucketing + per-bucket ranks + cumulative bucket offsets -> exact global
+   sort positions, then a banded equi-self-join on floor(pos/w) — exact
+   window semantics with no global sort, no driver collect, no Python.
 
 All rule outputs are canonicalized (left < right; F5 in SURVEY.md) and
 unioned with splink-style ``match_key`` retention (lowest rule index wins).
@@ -28,9 +29,6 @@ unioned with splink-style ``match_key`` retention (lowest rule index wins).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -56,23 +54,28 @@ MATCH_KEY = "match_key"
 # ---------------------------------------------------------------------------
 def canonicalize_pairs(pairs: DataFrame) -> DataFrame:
     """Swap (left, right) columns where needed so that left dataset <= right
-    dataset and, within a dataset, left id < right id; drop self-pairs."""
+    dataset and, within a dataset, left id < right id; drop self-pairs.
+
+    Ids are compared on their NATIVE type: integer Record IDs order
+    numerically, matching the reference's astype(int) canonicalization
+    (splink_blocking_and_filtering.py astype(int) + ordering swap;
+    validation_utils._validate_pairs) — string comparison would emit
+    (10, 2)-style pairs the reference contract rejects.
+    """
     lds, rds = F.col(f"`{LEFT_DATASET}`"), F.col(f"`{RIGHT_DATASET}`")
-    lid = F.col(f"`{LEFT_ID}`").cast("string")
-    rid = F.col(f"`{RIGHT_ID}`").cast("string")
+    lid, rid = F.col(f"`{LEFT_ID}`"), F.col(f"`{RIGHT_ID}`")
     swap = (lds > rds) | ((lds == rds) & (lid > rid))
     out = pairs
     extra = [c for c in pairs.columns if c not in PAIR_COLS]
     out = out.select(
         F.when(swap, rds).otherwise(lds).alias(LEFT_DATASET),
-        F.when(swap, F.col(f"`{RIGHT_ID}`")).otherwise(F.col(f"`{LEFT_ID}`")).alias(LEFT_ID),
+        F.when(swap, rid).otherwise(lid).alias(LEFT_ID),
         F.when(swap, lds).otherwise(rds).alias(RIGHT_DATASET),
-        F.when(swap, F.col(f"`{LEFT_ID}`")).otherwise(F.col(f"`{RIGHT_ID}`")).alias(RIGHT_ID),
+        F.when(swap, lid).otherwise(rid).alias(RIGHT_ID),
         *[F.col(f"`{c}`") for c in extra],
     )
     not_self = ~((F.col(f"`{LEFT_DATASET}`") == F.col(f"`{RIGHT_DATASET}`"))
-                 & (F.col(f"`{LEFT_ID}`").cast("string")
-                    == F.col(f"`{RIGHT_ID}`").cast("string")))
+                 & (F.col(f"`{LEFT_ID}`") == F.col(f"`{RIGHT_ID}`")))
     return out.filter(not_self)
 
 
@@ -258,24 +261,36 @@ def block_minhash_lsh(
 
 
 # ---------------------------------------------------------------------------
-# Rule 3: sorted neighborhood (distributed, bucket + boundary-head replication)
+# Rule 3: sorted neighborhood (distributed, exact global-window semantics)
 # ---------------------------------------------------------------------------
 def block_sorted_neighborhood(
     records: DataFrame,
     sort_key: str = "first_text_norm",
     window: int = 3,
     bucket_prefix_len: int = 2,
-    max_bucket: int = 100_000,
 ) -> DataFrame:
     """Pairs of records within +/-``window`` positions of each other when
-    sorted by ``sort_key``.
+    globally sorted by ``(sort_key, dataset, id)`` — EXACT window semantics,
+    fully executor-side.
 
-    Distribution strategy: bucket rows by a fixed-length key prefix
-    (deterministic, partitioning-independent), sort each bucket in
-    ``applyInPandas``, emit sliding-window pairs; additionally replicate each
-    bucket's first ``window`` rows into the *previous* bucket so windows that
-    span a bucket boundary are found.  (A global orderBy+lead window would be
-    a single-partition bottleneck at scale — SURVEY §2.5.)
+    Distribution strategy (no global orderBy, no driver collect):
+
+    1. bucket rows by a fixed-length key prefix (deterministic and
+       partitioning-independent, unlike repartitionByRange's sampled
+       boundaries) and rank within each bucket in parallel;
+    2. per-bucket row counts -> cumulative offsets via a window over the
+       *bucket-size table* (metadata-scale: one row per distinct prefix,
+       single tiny partition) -> broadcast-joined back, giving every row its
+       exact GLOBAL sort position;
+    3. a pair (i, j) with 0 < pos_j - pos_i <= w has
+       floor(pos_j/w) - floor(pos_i/w) in {0, 1}, so two equi-joins on the
+       position band (same band + next band) + a range filter enumerate
+       exactly the window pairs — windows spanning any number of bucket
+       boundaries included, no head replication, no truncation.
+
+    Each row lands in O(1) join rows and each pair is produced exactly once
+    (same-band and next-band pair sets are disjoint), so the plan is two
+    shuffles regardless of bucket-size distribution.
     """
     keyed = records.select(
         F.col(f"`{sort_key}`").alias("_k"),
@@ -284,47 +299,43 @@ def block_sorted_neighborhood(
     ).filter(F.col("_k").isNotNull() & (F.col("_k") != ""))
     keyed = keyed.withColumn("_bucket", F.substring("_k", 1, bucket_prefix_len))
 
-    # first `window` rows of each bucket, re-tagged to the previous bucket
-    w = Window.partitionBy("_bucket").orderBy("_k", "_ds", "_id")
-    heads = (
-        keyed.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= window)
-        .drop("_rn")
-    )
-    buckets = [r["_bucket"] for r in
-               keyed.select("_bucket").distinct().orderBy("_bucket").collect()]
-    prev = {b: buckets[i - 1] for i, b in enumerate(buckets) if i > 0}
-    if prev:
-        mapping = F.create_map(*[x for b, p in prev.items()
-                                 for x in (F.lit(b), F.lit(p))])
-        heads = heads.withColumn("_bucket", mapping[F.col("_bucket")]).filter(
-            F.col("_bucket").isNotNull()
-        )
-        tagged = keyed.unionByName(heads)
-    else:
-        tagged = keyed
+    # rank within bucket (parallel across buckets)
+    w_in = Window.partitionBy("_bucket").orderBy("_k", "_ds", "_id")
+    ranked = keyed.withColumn("_rn", F.row_number().over(w_in))
 
-    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["_k", "_ds", "_id"]).reset_index(drop=True)
-        if len(pdf) > max_bucket:
-            pdf = pdf.iloc[:max_bucket]
-        rows = []
-        n = len(pdf)
-        for i in range(n):
-            for j in range(i + 1, min(i + 1 + window, n)):
-                rows.append((pdf["_ds"].iat[i], pdf["_id"].iat[i],
-                             pdf["_ds"].iat[j], pdf["_id"].iat[j]))
-        return pd.DataFrame(rows, columns=["lds", "lid", "rds", "rid"])
-
-    pairs = tagged.groupBy("_bucket").applyInPandas(
-        emit, schema="lds string, lid string, rds string, rid string"
-    ).select(
-        F.col("lds").alias(LEFT_DATASET),
-        F.col("lid").alias(LEFT_ID),
-        F.col("rds").alias(RIGHT_DATASET),
-        F.col("rid").alias(RIGHT_ID),
+    # bucket offsets: cumulative sum over the tiny distinct-bucket table
+    # (single-partition window over metadata-cardinality rows, never data)
+    w_off = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        keyed.groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
+        .select("_bucket", "_off")
     )
-    return canonicalize_pairs(pairs).dropDuplicates(PAIR_COLS)
+    pos = ranked.join(F.broadcast(offsets), "_bucket").select(
+        "_ds", "_id", (F.col("_off") + F.col("_rn") - 1).alias("_g")
+    ).withColumn("_band", F.floor(F.col("_g") / F.lit(window)))
+
+    l = pos.select(
+        F.col("_ds").alias("_lds"), F.col("_id").alias("_lid"),
+        F.col("_g").alias("_gl"), F.col("_band").alias("_bl"),
+    )
+    r = pos.select(
+        F.col("_ds").alias("_rds"), F.col("_id").alias("_rid"),
+        F.col("_g").alias("_gr"), F.col("_band").alias("_br"),
+    )
+    in_window = (F.col("_gr") > F.col("_gl")) & (
+        F.col("_gr") - F.col("_gl") <= window
+    )
+    same = l.join(r, F.col("_bl") == F.col("_br")).filter(in_window)
+    nxt = l.join(r, F.col("_bl") + 1 == F.col("_br")).filter(in_window)
+    pairs = same.unionByName(nxt).select(
+        F.col("_lds").alias(LEFT_DATASET),
+        F.col("_lid").alias(LEFT_ID),
+        F.col("_rds").alias(RIGHT_DATASET),
+        F.col("_rid").alias(RIGHT_ID),
+    )
+    return canonicalize_pairs(pairs)
 
 
 # ---------------------------------------------------------------------------

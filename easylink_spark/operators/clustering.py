@@ -146,22 +146,40 @@ def connected_components(
 # links -> clusters (G1 driver)
 # ---------------------------------------------------------------------------
 def links_to_clusters(
-    links: DataFrame, threshold: float = 0.5, validate: bool = True
+    links: DataFrame,
+    threshold: float = 0.5,
+    validate: bool = True,
+    emit_singletons: bool = True,
 ) -> DataFrame:
     """Threshold links, run CC, emit clusters contract.
 
-    Mirrors splink_links_to_clusters.py:21-51: records not involved in any
-    accepted link are **excluded** (no singleton rows) — "if a node isn't
-    involved in an accepted link, that could just represent that we haven't
-    evaluated the right pairs involving it" (one_to_many_links_to_clusters.py
-    comment).  Cluster ID = min record key in component (stable).
+    Mirrors splink_links_to_clusters.py:21-51: the node set is ALL record
+    keys appearing in the links table (splink_links_to_clusters.py:28-34
+    builds dummy_records_df from every left/right key), so a node whose
+    links are all below ``threshold`` still gets a **singleton cluster**
+    (cluster id = its own record key).  ``emit_singletons=False`` restricts
+    output to nodes with >= 1 accepted link — the cascading one-to-many
+    step's exclusion semantic (one_to_many_links_to_clusters.py:80-83
+    comment), kept as an explicit flag.  Cluster ID = min record key in
+    component (stable; splink's representative id is likewise the min node).
     """
-    accepted = links.filter(F.col(PROBABILITY) >= F.lit(threshold))
-    edges = accepted.select(
+    keyed = links.select(
         record_key(f"`{LEFT_DATASET}`", f"`{LEFT_ID}`").alias(SRC),
         record_key(f"`{RIGHT_DATASET}`", f"`{RIGHT_ID}`").alias(DST),
+        F.col(PROBABILITY).alias("_p"),
     )
+    edges = keyed.filter(F.col("_p") >= F.lit(threshold)).select(SRC, DST)
     assign = connected_components(edges)
+    if emit_singletons:
+        nodes = (
+            keyed.select(F.col(SRC).alias("node"))
+            .union(keyed.select(F.col(DST).alias("node")))
+            .distinct()
+        )
+        singles = nodes.join(assign, "node", "left_anti").select(
+            "node", F.col("node").alias("component")
+        )
+        assign = assign.union(singles)
     ds, rid = split_record_key("node")
     out = assign.select(
         ds.alias(INPUT_RECORD_DATASET),
@@ -190,9 +208,10 @@ def clusters_to_links(clusters: DataFrame) -> DataFrame:
         r,
         (F.col("l._cid") == F.col("r._cid")) & (F.col("l._rk") < F.col("r._rk")),
     )
+    # native-type id comparison (integer ids order numerically, matching the
+    # reference's astype(int) pair ordering — see blocking.canonicalize_pairs)
     lds, rds = F.col("l._ds"), F.col("r._ds")
-    lid = F.col("l._id").cast("string")
-    rid = F.col("r._id").cast("string")
+    lid, rid = F.col("l._id"), F.col("r._id")
     swap = (lds > rds) | ((lds == rds) & (lid > rid))
     return pairs.select(
         F.when(swap, rds).otherwise(lds).alias(LEFT_DATASET),
@@ -260,14 +279,18 @@ def one_to_many_links_to_clusters(
     lds, rds = F.col(f"`{LEFT_DATASET}`"), F.col(f"`{RIGHT_DATASET}`")
     left_nd = lds == no_duplicates_dataset
     right_nd = rds == no_duplicates_dataset
-    both = links.filter(left_nd & right_nd).limit(1).count()
-    if both:
+    # both shape checks in ONE aggregation job (two eager limit(1).count()
+    # probes would each recompute the upstream links plan)
+    shape = links.agg(
+        F.sum((left_nd & right_nd).cast("int")).alias("_both"),
+        F.sum((~(left_nd | right_nd)).cast("int")).alias("_neither"),
+    ).collect()[0]
+    if shape["_both"]:
         raise ValueError(
             f"links include links within the no_duplicates_dataset "
             f"({no_duplicates_dataset})"
         )
-    neither = links.filter(~(left_nd | right_nd)).limit(1).count()
-    if neither:
+    if shape["_neither"]:
         raise ValueError(
             f"links include links that don't involve the no_duplicates_dataset "
             f"({no_duplicates_dataset})"

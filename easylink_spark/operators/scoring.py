@@ -46,6 +46,19 @@ class Comparison:
     ``gamma`` maps (left_col_expr, right_col_expr) -> IntegerType column of
     the agreement level in [0, n_levels).  ``m``/``u`` are
     P(gamma=k | match) / P(gamma=k | non-match), one per level, summing ~1.
+
+    ``tf_adjustment`` enables splink-style term-frequency-adjusted match
+    weights on the top (exact-match) level: agreeing on a RARE value is
+    stronger evidence than agreeing on a common one.  The generic u_k
+    ("probability two random records agree") is replaced per-pair by the
+    term frequency of the shared value v, scaled by ``tf_weight`` in [0,1]:
+
+        weight_k(v) = log2(m_k / u_k) + tf_weight * log2(u_k / tf(v))
+                    = log2(m_k / tf(v))                     (at tf_weight=1)
+
+    (reference: splink compute_df_concat_with_tf feeding the predict SQL,
+    splink_blocking_and_filtering.py:46-53 / splink_evaluating_pairs.py:
+    82-117; splink's tf_adjustment_weight semantics.)
     """
 
     name: str
@@ -53,6 +66,8 @@ class Comparison:
     gamma: Callable[[Column, Column], Column]
     m: list[float]
     u: list[float]
+    tf_adjustment: bool = False
+    tf_weight: float = 1.0
 
     @property
     def n_levels(self) -> int:
@@ -60,6 +75,9 @@ class Comparison:
 
     def gamma_col(self) -> str:
         return f"gamma_{self.name}"
+
+    def tf_col(self) -> str:
+        return f"tf_{self.name}"
 
 
 def _leveled(sim: Callable[[Column, Column], Column], cuts: list[float]):
@@ -110,6 +128,37 @@ def default_transcript_comparisons() -> list[Comparison]:
             u=[0.85, 0.15],
         ),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Term frequencies (A4) — splink's df_concat_with_tf analog
+# ---------------------------------------------------------------------------
+def with_term_frequencies(
+    records: DataFrame, comparisons: list[Comparison]
+) -> DataFrame:
+    """Attach ``tf_<name>`` = count(value)/N columns to the records table for
+    every tf-adjusted comparison (splink joins term frequencies into the
+    concatenated input once, before the pair join — cheaper than joining
+    against the much larger pairs table).  The tf table is a groupBy on the
+    attribute value; Catalyst broadcasts it when small, shuffles otherwise.
+    """
+    out = records
+    total = records.agg(F.count(F.lit(1)).alias("_tot"))  # 1 row, broadcast
+    for c in comparisons:
+        if not c.tf_adjustment:
+            continue
+        col = f"`{c.input_col}`"
+        counts = records.groupBy(F.col(col).alias("_v")).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        # total joined as a broadcast 1-row frame — NOT a window over the
+        # value-count table (whose empty-frame window would funnel every
+        # distinct value through one partition at scale)
+        tf = counts.join(F.broadcast(total)).select(
+            "_v", (F.col("_n") / F.col("_tot")).alias(c.tf_col())
+        )
+        out = out.join(tf, out[col] == tf["_v"], "left").drop("_v")
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -169,15 +218,24 @@ def fs_probability(
     gammas: DataFrame, comparisons: list[Comparison], prior: float
 ) -> DataFrame:
     """match_weight = log2(prior/(1-prior)) + sum_k log2(m_k/u_k);
-    Probability = 1/(1+2^-w).  No shuffle: per-row arithmetic only."""
+    Probability = 1/(1+2^-w).  No shuffle: per-row arithmetic only.
+
+    For tf-adjusted comparisons the TOP (exact-match) level's weight is
+    shifted by tf_weight * log2(u_k / tf(v)) — per-pair arithmetic over the
+    ``tf_<name>_l`` column attached upstream (see Comparison docstring)."""
     w: Column = F.lit(math.log2(prior / (1.0 - prior)))
     for c in comparisons:
         # map gamma level -> log2(m/u) via chained when (levels are tiny)
         lw = F.lit(math.log2(c.m[0] / c.u[0]))
         for k in range(1, c.n_levels):
-            lw = F.when(
-                F.col(c.gamma_col()) == k, math.log2(c.m[k] / c.u[k])
-            ).otherwise(lw)
+            level_w: Column = F.lit(math.log2(c.m[k] / c.u[k]))
+            if c.tf_adjustment and k == c.n_levels - 1:
+                tf = F.col(f"`{c.tf_col()}_l`")
+                adj = F.lit(c.tf_weight) * (
+                    F.lit(math.log2(c.u[k])) - F.log2(tf)
+                )
+                level_w = level_w + F.coalesce(adj, F.lit(0.0))
+            lw = F.when(F.col(c.gamma_col()) == k, level_w).otherwise(lw)
         w = w + lw
     out = gammas.withColumn("match_weight", w).withColumn(
         PROBABILITY, F.lit(1.0) / (F.lit(1.0) + F.pow(F.lit(2.0), -F.col("match_weight")))
@@ -202,6 +260,9 @@ def score_pairs(
     """
     comparisons = comparisons or default_transcript_comparisons()
     cols = sorted({c.input_col for c in comparisons})
+    if any(c.tf_adjustment for c in comparisons):
+        records = with_term_frequencies(records, comparisons)
+        cols += sorted(c.tf_col() for c in comparisons if c.tf_adjustment)
     # Comparator cost scales with pairs x text length, not bytes; a byte-small
     # pairs table would otherwise land on one input split and score on a
     # single task.  Spread pairs across the cluster before the double join.

@@ -141,27 +141,29 @@ def semi_join_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "clusters_to_links",
     """
-    SELECT CASE WHEN CAST(a.n_nationkey AS VARCHAR) < CAST(b.n_nationkey AS VARCHAR)
-                THEN CAST(a.n_nationkey AS VARCHAR) ELSE CAST(b.n_nationkey AS VARCHAR) END AS left_id,
-           CASE WHEN CAST(a.n_nationkey AS VARCHAR) < CAST(b.n_nationkey AS VARCHAR)
-                THEN CAST(b.n_nationkey AS VARCHAR) ELSE CAST(a.n_nationkey AS VARCHAR) END AS right_id,
+    SELECT CAST(LEAST(a.n_nationkey, b.n_nationkey) AS BIGINT) AS left_id,
+           CAST(GREATEST(a.n_nationkey, b.n_nationkey) AS BIGINT) AS right_id,
            1.0 AS probability
     FROM nation a JOIN nation b
       ON a.n_regionkey = b.n_regionkey
-     AND CAST(a.n_nationkey AS VARCHAR) < CAST(b.n_nationkey AS VARCHAR)
+     AND a.n_nationkey < b.n_nationkey
     """,
 )
 def clusters_to_links_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Record IDs kept integer end-to-end: canonical pair order compares on
+    # the native type (left id < right id NUMERICALLY), matching the
+    # reference's astype(int) ordering (splink_blocking_and_filtering.py
+    # astype(int) + validation_utils._validate_pairs).
     nation = _t(spark, sf_dir, "nation")
     clusters = nation.select(
         F.lit("nation").alias(K.INPUT_RECORD_DATASET),
-        F.col("n_nationkey").cast("string").alias(K.INPUT_RECORD_ID),
+        F.col("n_nationkey").cast("long").alias(K.INPUT_RECORD_ID),
         F.col("n_regionkey").cast("string").alias(K.CLUSTER_ID),
     )
     links = G.clusters_to_links(clusters)
     return links.select(
-        F.col(f"`{K.LEFT_ID}`").alias("left_id"),
-        F.col(f"`{K.RIGHT_ID}`").alias("right_id"),
+        F.col(f"`{K.LEFT_ID}`").cast("long").alias("left_id"),
+        F.col(f"`{K.RIGHT_ID}`").cast("long").alias("right_id"),
         F.col(f"`{K.PROBABILITY}`").alias("probability"),
     )
 
@@ -173,28 +175,29 @@ def clusters_to_links_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "canonicalize_pairs",
     """
     SELECT DISTINCT
-      CASE WHEN l < r THEN l ELSE r END AS left_id,
-      CASE WHEN l < r THEN r ELSE l END AS right_id
+      CAST(LEAST(l, r) AS BIGINT) AS left_id,
+      CAST(GREATEST(l, r) AS BIGINT) AS right_id
     FROM (
-      SELECT CAST(o_orderkey % 50 AS VARCHAR) AS l,
-             CAST(o_custkey % 50 AS VARCHAR) AS r
+      SELECT o_orderkey % 50 AS l, o_custkey % 50 AS r
       FROM orders
     )
     WHERE l <> r
     """,
 )
 def canonicalize_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # integer Record IDs ordered numerically (reference astype(int) ordering;
+    # e.g. (10, 2) canonicalizes to (2, 10), not string-order (10, 2))
     orders = _t(spark, sf_dir, "orders")
     raw = orders.select(
         F.lit("d").alias(K.LEFT_DATASET),
-        (F.col("o_orderkey") % 50).cast("string").alias(K.LEFT_ID),
+        (F.col("o_orderkey") % 50).cast("long").alias(K.LEFT_ID),
         F.lit("d").alias(K.RIGHT_DATASET),
-        (F.col("o_custkey") % 50).cast("string").alias(K.RIGHT_ID),
+        (F.col("o_custkey") % 50).cast("long").alias(K.RIGHT_ID),
     )
     out = B.canonicalize_pairs(raw).dropDuplicates(K.PAIR_COLS)
     return out.select(
-        F.col(f"`{K.LEFT_ID}`").alias("left_id"),
-        F.col(f"`{K.RIGHT_ID}`").alias("right_id"),
+        F.col(f"`{K.LEFT_ID}`").cast("long").alias("left_id"),
+        F.col(f"`{K.RIGHT_ID}`").cast("long").alias("right_id"),
     )
 
 
@@ -287,12 +290,14 @@ def cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # total via a window over the (tiny) grouped result — one scan, no
+    # driver-side count() job
     cust = _t(spark, sf_dir, "customer")
-    total = cust.count()
-    return cust.groupBy(F.col("c_mktsegment").alias("term")).agg(
-        F.count(F.lit(1)).alias("cnt"),
-        (F.count(F.lit(1)) / F.lit(total)).alias("tf"),
+    counts = cust.groupBy(F.col("c_mktsegment").alias("term")).agg(
+        F.count(F.lit(1)).alias("cnt")
     )
+    total = F.sum("cnt").over(Window.partitionBy())
+    return counts.withColumn("tf", F.col("cnt") / total)
 
 
 # ---------------------------------------------------------------------------
@@ -395,6 +400,82 @@ def fs_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(f"`{K.RIGHT_ID}`").alias("right_id"),
         F.col("gamma_nameword").alias("g_nameword"),
         F.col("gamma_type").alias("g_type"),
+        F.round("match_weight", 6).alias("match_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 (full): term-frequency-ADJUSTED Fellegi-Sunter weights — agreeing on a
+# common value scores lower than agreeing on a rare one (ref: splink
+# compute_df_concat_with_tf + tf-adjusted predict,
+# splink_blocking_and_filtering.py:46-53, splink_evaluating_pairs.py:82-117)
+# ---------------------------------------------------------------------------
+def _fs_tf_sql() -> str:
+    m1, u1 = _FS_M["nameword"][1], _FS_U["nameword"][1]
+    prior_w = math.log2(_FS_PRIOR / (1 - _FS_PRIOR))
+    base_w0 = math.log2(_FS_M["nameword"][0] / _FS_U["nameword"][0])
+    base_w1 = math.log2(m1 / u1)
+    return f"""
+    WITH p AS (
+      SELECT p_partkey, p_brand, p_size,
+             split_part(p_name, ' ', 1) AS nameword FROM part
+    ),
+    tf AS (
+      SELECT nameword AS v,
+             CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM p) AS tf
+      FROM p GROUP BY nameword
+    ),
+    pairs AS (
+      SELECT a.p_partkey AS lk, b.p_partkey AS rk,
+             a.nameword AS cl, b.nameword AS cr
+      FROM p a JOIN p b
+        ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       AND CAST(a.p_partkey AS VARCHAR) < CAST(b.p_partkey AS VARCHAR)
+    ),
+    g AS (
+      SELECT lk, rk, cl,
+        CASE WHEN cl IS NOT NULL AND cr IS NOT NULL AND cl = cr
+             THEN 1 ELSE 0 END AS g_nameword
+      FROM pairs
+    )
+    SELECT CAST(lk AS VARCHAR) AS left_id, CAST(rk AS VARCHAR) AS right_id,
+           g_nameword,
+           ROUND({prior_w!r}
+             + CASE WHEN g_nameword = 1
+                    THEN {base_w1!r} + ({math.log2(u1)!r} - log2(tf.tf))
+                    ELSE {base_w0!r} END, 6) AS match_weight
+    FROM g LEFT JOIN tf ON g.cl = tf.v
+    """
+
+
+@q("fs_score_tf", _fs_tf_sql())
+def fs_score_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from easylink_spark.functions import comparators as C
+
+    part = _t(spark, sf_dir, "part")
+    records = part.select(
+        F.lit("part").alias(K.INPUT_RECORD_DATASET),
+        F.col("p_partkey").cast("string").alias(K.INPUT_RECORD_ID),
+        F.concat_ws("|", "p_brand", "p_size").alias("bkey"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("nameword"),
+    )
+    pairs = B.block_on_key(records, F.col("bkey"))
+    comps = [
+        S.Comparison("nameword", "nameword",
+                     S._leveled(C.exact_match, [0.5]),
+                     m=_FS_M["nameword"], u=_FS_U["nameword"],
+                     tf_adjustment=True, tf_weight=1.0),
+    ]
+    records_tf = S.with_term_frequencies(records, comps)
+    attrs = S.attach_pair_attributes(
+        pairs, records_tf, ["nameword", comps[0].tf_col()]
+    )
+    gammas = S.compute_gammas(attrs, comps)
+    scored = S.fs_probability(gammas, comps, _FS_PRIOR)
+    return scored.select(
+        F.col(f"`{K.LEFT_ID}`").alias("left_id"),
+        F.col(f"`{K.RIGHT_ID}`").alias("right_id"),
+        F.col("gamma_nameword").alias("g_nameword"),
         F.round("match_weight", 6).alias("match_weight"),
     )
 
@@ -610,16 +691,22 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     )
-    SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
     FROM g GROUP BY user_id
     """,
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # microsecond-exact gap comparison (unix_micros), matching DuckDB's
+    # `> INTERVAL 30 MINUTE` on timestamps — a cast to seconds would
+    # truncate and disagree on gaps in (1800, 1801) s.
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ts_sec = F.col("ts").cast("timestamp").cast("long")
-    lag_sec = F.lag(ts_sec).over(w)
-    new_s = F.when(lag_sec.isNull() | (ts_sec - lag_sec > 1800), 1).otherwise(0)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lag_us = F.lag(ts_us).over(w)
+    new_s = F.when(
+        lag_us.isNull() | (ts_us - lag_us > 1800 * 1_000_000), 1
+    ).otherwise(0)
     return (
         ev.withColumn("new_session", new_s)
         .groupBy("user_id")

@@ -53,6 +53,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # ER stage outputs are byte-small but CPU-heavy (text, per-row cost
+        # scales with rows not bytes).  AQE's default 1 MB minPartitionSize
+        # coalesces them to ONE partition, serializing every downstream
+        # compute + parquet encode — the measured serial bottleneck of the
+        # round-1 scaling run.  A 16 KB floor keeps parallelismFirst's
+        # bytes/defaultParallelism target in charge instead.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+        # count()-only stage statistics come from parquet footers, not scans
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Comparator UDFs ship wide text batches over Arrow; keep batches
         # bounded so executor Python memory stays flat at scale.

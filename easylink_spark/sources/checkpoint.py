@@ -9,17 +9,28 @@ shuffle (SURVEY §3.4).  Here each stage write is:
   Iceberg catalog is configured on the session, else parquet to
   ``<base>/<stage>`` (overwrite) — SURVEY §7.4.6 fallback;
 - a ``_manifest.json`` next to it with: stage name, config hash, input
-  manifest hashes (lineage), total + per-partition row counts, wall time.
+  manifest hashes (lineage), row counts + per-file sizes, wall time.
 
 ``StageRunner.stage(name, fn, inputs=...)`` skips recompute when a manifest
 with the same config hash + input lineage already exists (idempotent,
 exactly-once resume: the manifest is written only after a successful table
 write).
+
+Scale notes (the round-1 serial bottleneck lived here):
+
+- writes go through an explicit ``repartition(write_partitions)`` so the
+  parquet encode parallelizes even when AQE coalesced a byte-small stage
+  output to one partition, AND the re-read gets one split per file (small
+  files below maxPartitionBytes are otherwise packed into few read splits,
+  serializing every downstream per-row compute until the next shuffle);
+- row counts come from parquet footer metadata via pyarrow on the driver —
+  zero Spark jobs per stage boundary (the round-1 count() re-scan is gone).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 from collections.abc import Callable
 from hashlib import sha256
@@ -33,6 +44,21 @@ def _stable_hash(obj) -> str:
     return sha256(json.dumps(obj, sort_keys=True, default=str).encode()).hexdigest()[:16]
 
 
+def _parquet_footer_stats(path: Path) -> tuple[int, list[tuple[str, int, int]]]:
+    """(total_rows, [(file, rows, bytes)]) from parquet footers — driver-side
+    metadata reads only, no Spark job."""
+    import pyarrow.parquet as pq
+
+    files = sorted(p for p in path.glob("*.parquet"))
+    stats = []
+    total = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        stats.append((f.name, md.num_rows, f.stat().st_size))
+        total += md.num_rows
+    return total, stats
+
+
 class StageRunner:
     def __init__(
         self,
@@ -41,6 +67,7 @@ class StageRunner:
         config: dict | None = None,
         iceberg_catalog: str | None = None,
         validate: bool = True,
+        write_partitions: int | None = None,
     ):
         self.spark = spark
         self.base = Path(base_dir)
@@ -48,6 +75,15 @@ class StageRunner:
         self.config_hash = _stable_hash(config or {})
         self.iceberg_catalog = iceberg_catalog
         self.manifests: dict[str, dict] = {}
+        # Default: one output file per core so encode parallelizes and the
+        # re-read has >= cores splits.  On a real cluster with large stage
+        # outputs, pass None to let the plan's own (AQE-sized) partitioning
+        # through, or a larger explicit number.
+        self.write_partitions = (
+            write_partitions
+            if write_partitions is not None
+            else spark.sparkContext.defaultParallelism
+        )
 
     # -- storage layer ------------------------------------------------------
     def _table_path(self, name: str) -> Path:
@@ -57,6 +93,8 @@ class StageRunner:
         return self.base / f"{name}._manifest.json"
 
     def _write(self, name: str, df: DataFrame) -> None:
+        if self.write_partitions and self.write_partitions > 1:
+            df = df.repartition(self.write_partitions)
         if self.iceberg_catalog:
             df.writeTo(f"{self.iceberg_catalog}.{name}").createOrReplace()
         else:
@@ -111,33 +149,52 @@ class StageRunner:
         stored = self.read(name)
         if validator is not None:
             validator(stored)
-        # Per-partition lineage counters cost one extra scan; the row total
-        # comes from a cheap count on the stored table.  Full per-partition
-        # detail is opt-in (EASYLINK_LINEAGE_DETAIL=1) — at bench/production
-        # scale the count-only manifest keeps stage boundaries one-job.
-        import os
-
-        if os.environ.get("EASYLINK_LINEAGE_DETAIL", "0") == "1":
-            per_part = [
-                (r["p"], r["n"])
-                for r in stored.groupBy(F.spark_partition_id().alias("p"))
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            ]
-            n_rows = sum(n for _, n in per_part)
-        else:
-            per_part = []
+        if self.iceberg_catalog:
             n_rows = stored.count()
+            file_stats: list[tuple[str, int, int]] = []
+        else:
+            n_rows, file_stats = _parquet_footer_stats(self._table_path(name))
+        # content_hash folds in per-file row counts + byte sizes, so a data
+        # change at equal total row count still invalidates downstream
+        # lineage in almost all cases; EASYLINK_LINEAGE_DETAIL=1 adds a
+        # true order-independent data checksum (one extra scan job) plus
+        # per-partition counters.
+        data_hash = None
+        per_part: list[tuple[int, int]] = []
+        if os.environ.get("EASYLINK_LINEAGE_DETAIL", "0") == "1":
+            rows = (
+                stored.groupBy(F.spark_partition_id().alias("p"))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.coalesce(
+                        F.bit_xor(F.xxhash64(*[F.col(f"`{c}`") for c in stored.columns])),
+                        F.lit(0),
+                    ).alias("h"),
+                )
+                .collect()
+            )
+            per_part = sorted((r["p"], r["n"]) for r in rows)
+            data_hash = 0
+            for r in rows:
+                data_hash ^= r["h"]
         manifest = {
             "stage": name,
             "config_hash": self.config_hash,
             "lineage": lineage,
             "rows": n_rows,
-            "partitions": sorted(per_part),
+            "files": file_stats,
+            "partitions": per_part,
+            "data_hash": data_hash,
             "columns": stored.columns,
             "wall_sec": round(time.time() - t0, 3),
             "content_hash": _stable_hash(
-                {"rows": n_rows, "config": self.config_hash, "lineage": lineage}
+                {
+                    "rows": n_rows,
+                    "files": file_stats,
+                    "data_hash": data_hash,
+                    "config": self.config_hash,
+                    "lineage": lineage,
+                }
             ),
         }
         mpath.write_text(json.dumps(manifest, indent=1))

@@ -95,6 +95,35 @@ def test_sorted_neighborhood(spark):
     assert ("d", "3", "d", "4") in got
 
 
+def test_sorted_neighborhood_spans_many_buckets(spark):
+    # single-row buckets: a window-3 pair spans THREE bucket boundaries;
+    # exact global-position semantics must still find it, and must also
+    # produce exactly the |i-j|<=3 pair set and nothing else
+    recs = _records(
+        spark,
+        [("d", "1", "aa", ""), ("d", "2", "bb", ""), ("d", "3", "cc", ""),
+         ("d", "4", "dd", ""), ("d", "5", "ee", "")],
+    )
+    pairs = B.block_sorted_neighborhood(recs, "key", window=3, bucket_prefix_len=2)
+    got = pair_set(pairs)
+    expected = {
+        ("d", str(i), "d", str(j))
+        for i in range(1, 6) for j in range(i + 1, 6) if j - i <= 3
+    }
+    assert got == expected
+
+
+def test_sorted_neighborhood_integer_ids_numeric_order(spark):
+    # ids 2 and 10 in one bucket: canonical order must be numeric (2, 10)
+    recs = spark.createDataFrame(
+        [("d", 10, "aa"), ("d", 2, "ab")],
+        f"`{K.INPUT_RECORD_DATASET}` string, `{K.INPUT_RECORD_ID}` long, key string",
+    )
+    pairs = B.block_sorted_neighborhood(recs, "key", window=1, bucket_prefix_len=1)
+    rows = [(r[K.LEFT_ID], r[K.RIGHT_ID]) for r in pairs.collect()]
+    assert rows == [(2, 10)]
+
+
 def test_union_blocking_rules_match_key(spark):
     schema = (
         f"`{K.LEFT_DATASET}` string, `{K.LEFT_ID}` string, "

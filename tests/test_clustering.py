@@ -107,11 +107,22 @@ def test_links_to_clusters_threshold_and_exclusion(spark):
         [
             ("d", "1", "d", "2", 0.9),
             ("d", "2", "d", "3", 0.95),
-            ("d", "4", "d", "5", 0.2),  # below threshold -> excluded entirely
+            ("d", "4", "d", "5", 0.2),  # below threshold -> no edge
         ],
     )
+    # Default = reference semantics (splink_links_to_clusters.py:28-34): the
+    # node set is every key in the links table, so 4 and 5 come out as
+    # singleton clusters even though their only link is sub-threshold.
     clusters = G.links_to_clusters(links, threshold=0.5)
     assert partition_of(clusters) == {
+        frozenset({"d-__-1", "d-__-2", "d-__-3"}),
+        frozenset({"d-__-4"}),
+        frozenset({"d-__-5"}),
+    }
+    # Explicit exclusion flag = the cascading one-to-many semantic
+    # (one_to_many_links_to_clusters.py:80-83): unlinked nodes dropped.
+    excluded = G.links_to_clusters(links, threshold=0.5, emit_singletons=False)
+    assert partition_of(excluded) == {
         frozenset({"d-__-1", "d-__-2", "d-__-3"})
     }
 

@@ -104,3 +104,28 @@ def test_em_separates_mixture(spark):
     assert trained[0].m[1] > 0.80      # matches agree on name
     assert trained[0].u[1] < 0.25      # non-matches rarely agree
     assert 0.1 < lam < 0.5             # learned mixture weight near 0.25
+
+
+def test_tf_adjusted_weights_common_vs_rare(spark):
+    """TF adjustment (A4 full): agreeing on a COMMON value must score lower
+    than agreeing on a RARE value; with tf_weight=1 the top-level weight is
+    exactly log2(m / tf(v)) (splink df_concat_with_tf semantics)."""
+    # 6 records: 4 share name 'smith' (tf=4/6), 2 share 'zorn' (tf=2/6)
+    recs = _records(
+        spark,
+        [("d", "1", "smith"), ("d", "2", "smith"), ("d", "3", "smith"),
+         ("d", "4", "smith"), ("d", "5", "zorn"), ("d", "6", "zorn")],
+    )
+    comp = S.Comparison(
+        "name", "name", S._leveled(C.exact_match, [0.5]),
+        m=[0.1, 0.9], u=[0.9, 0.1], tf_adjustment=True, tf_weight=1.0,
+    )
+    pairs = _pairs(spark, [("d", "1", "d", "2"), ("d", "5", "d", "6")])
+    recs_tf = S.with_term_frequencies(recs, [comp])
+    attrs = S.attach_pair_attributes(pairs, recs_tf, ["name", comp.tf_col()])
+    scored = S.fs_probability(S.compute_gammas(attrs, [comp]), [comp], 0.5)
+    w = {r[K.LEFT_ID]: r["match_weight"] for r in scored.collect()}
+    assert w["5"] > w["1"], "rare-value agreement must outweigh common-value"
+    # exact arithmetic: w = log2(prior odds)=0 + log2(m / tf)
+    assert abs(w["1"] - math.log2(0.9 / (4 / 6))) < 1e-9
+    assert abs(w["5"] - math.log2(0.9 / (2 / 6))) < 1e-9
