@@ -188,7 +188,11 @@ def minhash_signatures(
     rows x shingles, not bytes, so file-size-based partitioning
     under-parallelizes it.
     """
-    sc_parallelism = records.sparkSession.sparkContext.defaultParallelism
+    # multiple task waves (shuffle.partitions, not defaultParallelism) so
+    # the CPU-heavy hashing stage doesn't end on its slowest single task
+    sc_parallelism = int(
+        records.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     keyed = records.select(
         F.col(f"`{INPUT_RECORD_DATASET}`").alias("_ds"),
         F.col(f"`{INPUT_RECORD_ID}`").alias("_id"),

@@ -265,8 +265,10 @@ def score_pairs(
         cols += sorted(c.tf_col() for c in comparisons if c.tf_adjustment)
     # Comparator cost scales with pairs x text length, not bytes; a byte-small
     # pairs table would otherwise land on one input split and score on a
-    # single task.  Spread pairs across the cluster before the double join.
-    par = pairs.sparkSession.sparkContext.defaultParallelism
+    # single task.  Spread pairs across the cluster before the double join —
+    # to shuffle.partitions (multiple task waves), not defaultParallelism
+    # (one wave = every stage waits on its slowest task).
+    par = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     pairs = pairs.repartition(par, F.col(f"`{LEFT_DATASET}`"), F.col(f"`{LEFT_ID}`"))
     attrs = attach_pair_attributes(pairs, records, cols)
     gammas = compute_gammas(attrs, comparisons)

@@ -34,27 +34,45 @@ def exact_dedup_keys(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, simhash) — 64-bit SimHash: bit i of the result = 1 iff the sum
-    over distinct tokens of (+1 if bit i of xxhash64(token) else -1) > 0.
+def portable_token_hash60(col: Column) -> Column:
+    """60-bit token hash every SQL engine can reproduce: the first 15 hex
+    chars of md5, parsed as an integer (DuckDB:
+    ``CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)``).  Used by the
+    oracle-checked portable simhash; the default engine hash is xxhash64
+    (faster, JVM-native)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_bits: int = 64,
+    token_hash: "callable | None" = None,
+) -> DataFrame:
+    """(id, simhash) — n-bit SimHash: bit i of the result = 1 iff the sum
+    over distinct tokens of (+1 if bit i of hash(token) else -1) > 0.
 
     Same explode -> simple-aggregates layout as minhash_signatures: one row
-    per (doc, token), 64 trivially-codegen'd conditional sums with map-side
-    partial aggregation, then the signature assembled from the 64 sums with
+    per (doc, token), n trivially-codegen'd conditional sums with map-side
+    partial aggregation, then the signature assembled from the sums with
     literal shifts.  Unweighted (term frequency 1 per distinct token).
+    ``token_hash`` defaults to xxhash64; pass :func:`portable_token_hash60`
+    (with ``n_bits=60``) for a signature any SQL engine can recompute.
     """
+    token_hash = token_hash or F.xxhash64
     toks = F.array_distinct(F.split(F.col(text_col), " "))
     exploded = df.select(
         F.col(id_col).alias("_id"), F.explode(toks).alias("_t")
-    ).select("_id", F.xxhash64("_t").alias("_h"))
+    ).select("_id", token_hash(F.col("_t")).alias("_h"))
     sums = exploded.groupBy("_id").agg(*[
         F.sum(
             F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"s{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ])
     sig = None
-    for i in range(64):
+    for i in range(n_bits):
         # bit 63 of a signed long is the sign bit: its set-value is MIN_LONG
         bit_val = -(1 << 63) if i == 63 else (1 << i)
         term = F.when(
@@ -74,17 +92,26 @@ def simhash_near_dup_pairs(
     id_col: str,
     max_hamming: int = 3,
     bands: int = 4,
+    n_bits: int = 64,
+    token_hash: "callable | None" = None,
+    hot_piece_cap: int = 2000,
 ) -> DataFrame:
     """Near-duplicate id pairs with Hamming(simhash) <= max_hamming.
 
-    Banding: split the 64-bit hash into ``bands`` 16-bit pieces; by
-    pigeonhole any pair within Hamming distance bands-1 shares >= one exact
-    band, so an equi-join per band finds all candidates for
-    max_hamming <= bands-1; in-bucket verification filters by true distance.
-    (This is the standard Manku/Jain/Sarma simhash dedup layout.)
+    Banding: split the n-bit hash into ``bands`` pieces; by pigeonhole any
+    pair within Hamming distance bands-1 shares >= one exact band, so an
+    equi-join per band finds all candidates for max_hamming <= bands-1;
+    in-bucket verification filters by true distance.  (This is the standard
+    Manku/Jain/Sarma simhash dedup layout.)
+
+    Degenerate-corpus defense: a (band, piece) bucket larger than
+    ``hot_piece_cap`` (millions of identical/boilerplate docs sharing a
+    signature piece) would go quadratic; such buckets are dropped via a
+    broadcast anti join on the tiny hot set — same cap pattern as
+    blocking.block_minhash_lsh.  Exact-dedup owns genuinely identical text.
     """
-    bits_per = 64 // bands
-    sh = simhash_signatures(df, text_col, id_col).select(
+    bits_per = n_bits // bands
+    sh = simhash_signatures(df, text_col, id_col, n_bits, token_hash).select(
         "_id", F.col("simhash").alias("_sh")
     )
     banded = sh.select(
@@ -99,6 +126,13 @@ def simhash_near_dup_pairs(
             for b in range(bands)
         ])).alias("_bp"),
     ).select("_id", "_sh", "_bp.band", "_bp.piece")
+    if hot_piece_cap:
+        hot = (
+            banded.groupBy("band", "piece")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") > hot_piece_cap)
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "piece"], "left_anti")
     pairs = (
         banded.alias("l")
         .join(
@@ -174,13 +208,19 @@ def embedding_near_dup_pairs(
     min_cosine: float = 0.95,
     n_planes: int = 16,
     n_tables: int = 4,
+    hot_sig_cap: int = 2000,
 ) -> DataFrame:
     """Cosine-near-duplicate pairs: candidates from ``n_tables`` independent
     sign-LSH tables (equi-join on signature), verified by exact cosine.
     Candidate recall for cosine c per table ~= (1 - acos(c)/pi)^n_planes;
     multiple tables union.  At 100 TB each table join is a shuffle on an
     8-byte key — the verification join carries the vectors only for
-    colliding pairs."""
+    colliding pairs.
+
+    Degenerate-corpus defense: a (table, sig) bucket larger than
+    ``hot_sig_cap`` (e.g. millions of zero/identical embeddings) is dropped
+    via a broadcast anti join on the tiny hot set, bounding the self-join
+    at quadratic-bucket inputs (exact dedup owns identical vectors)."""
     base = df.select(
         F.col(id_col).alias("_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
@@ -195,6 +235,13 @@ def embedding_near_dup_pairs(
             for t in range(n_tables)
         ])).alias("_ts"),
     ).select("_id", "_v", "_ts.table", "_ts.sig")
+    if hot_sig_cap:
+        hot = (
+            tagged.groupBy("table", "sig")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") > hot_sig_cap)
+        )
+        tagged = tagged.join(F.broadcast(hot), ["table", "sig"], "left_anti")
     cand = (
         tagged.alias("l")
         .join(

@@ -790,25 +790,164 @@ def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Rows-only entries (non-SQL-expressible: iterative LSH banding / the full
-# pipeline) — driver records row-count-only checks; pytest covers semantics.
+# SimHash near-dup with a FULL DuckDB oracle: the portable 60-bit variant
+# (md5-derived token hash both engines can compute).  The oracle computes
+# every doc's simhash and ALL pairwise Hamming distances; equality therefore
+# verifies both the signature math and the banding recall (pigeonhole:
+# bands=4 covers hamming<=3 exactly).
 # ---------------------------------------------------------------------------
-@q("simhash_near_dup", None)
+def _simhash_sql(n_bits: int = 60, max_hamming: int = 3) -> str:
+    sums = ",\n             ".join(
+        f"SUM(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(n_bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+        for i in range(n_bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_distinct(str_split(text, ' '))) AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS hv
+      FROM toks
+    ),
+    s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, {sig} AS sh FROM s)
+    SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    """
+
+
+@q("simhash_near_dup", _simhash_sql())
 def simhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from easylink_spark.operators.textops import simhash_signatures
+    from easylink_spark.operators.textops import (
+        portable_token_hash60,
+        simhash_near_dup_pairs,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_signatures(docs, "text", "doc_id").select(
-        F.col("_id").alias("doc_id"), "simhash"
+    pairs = simhash_near_dup_pairs(
+        docs, "text", "doc_id", max_hamming=3, bands=4, n_bits=60,
+        token_hash=portable_token_hash60,
+    )
+    return pairs.select(
+        "left_id", "right_id", F.col("hamming").cast("int").alias("hamming")
     )
 
 
-@q("embedding_near_dup", None)
+# ---------------------------------------------------------------------------
+# MinHash-LSH recall oracle: DuckDB computes the TRUE 3-token-shingle
+# Jaccard >= 0.9 pairs by brute force; the Spark side computes the same
+# truth set and keeps only those found among the engine's LSH candidates.
+# Result-set equality <=> 100% LSH recall on the high-similarity pairs
+# (collision probability at j=0.9 with 8 bands x 4 rows: 1-(1-0.9^4)^8 ~
+# 0.9998 per pair, and deterministic given the fixed hash family).
+# ---------------------------------------------------------------------------
+_MINHASH_RECALL_J = 0.9
+
+_MINHASH_RECALL_SQL = f"""
+WITH d AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[g.i : g.i + 2], ' ') AS s
+  FROM d, LATERAL (
+    SELECT UNNEST(generate_series(1, GREATEST(len(toks) - 2, 1))) AS i
+  ) g
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS l, b.doc_id AS r, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT CAST(l AS BIGINT) AS left_id, CAST(r AS BIGINT) AS right_id,
+       ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = inter.l
+JOIN sizes sb ON sb.doc_id = inter.r
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {_MINHASH_RECALL_J}
+"""
+
+
+@q("minhash_lsh_recall", _MINHASH_RECALL_SQL)
+def minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # truth: exact shingle-Jaccard >= J by brute force (oracle-scale only;
+    # the LSH path below is the production plan)
+    toks = F.split(F.col("text"), " ")
+    n = F.greatest(F.size(toks) - 2, F.lit(1))
+    sh = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.array_distinct(F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        ))).alias("s"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"),
+              (F.col("a.s") == F.col("b.s"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("l"), F.col("b.doc_id").alias("r"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    truth = (
+        inter.join(sizes.select(F.col("doc_id").alias("l"),
+                                F.col("n").alias("na")), "l")
+        .join(sizes.select(F.col("doc_id").alias("r"),
+                           F.col("n").alias("nb")), "r")
+        .withColumn("jaccard_raw",
+                    F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .filter(F.col("jaccard_raw") >= _MINHASH_RECALL_J)
+        .select(F.col("l").alias("left_id"), F.col("r").alias("right_id"),
+                F.round("jaccard_raw", 6).alias("jaccard"))
+    )
+    # engine LSH candidates, re-ordered numerically for the unordered match
+    records = docs.select(
+        F.lit("documents").alias(K.INPUT_RECORD_DATASET),
+        F.col("doc_id").cast("string").alias(K.INPUT_RECORD_ID),
+        F.col("text"),
+    )
+    cand = B.block_minhash_lsh(records, "text", num_hashes=32, bands=8).select(
+        F.least(F.col(f"`{K.LEFT_ID}`").cast("long"),
+                F.col(f"`{K.RIGHT_ID}`").cast("long")).alias("left_id"),
+        F.greatest(F.col(f"`{K.LEFT_ID}`").cast("long"),
+                   F.col(f"`{K.RIGHT_ID}`").cast("long")).alias("right_id"),
+    )
+    return truth.join(cand, ["left_id", "right_id"], "left_semi")
+
+
+@q(
+    "embedding_near_dup",
+    """
+    WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                      CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (
+      SELECT vec_id + 100000 AS vec_id,
+             list_transform(v, x -> x * 1.0001) AS v
+      FROM e WHERE vec_id < 20
+    ),
+    a AS (SELECT * FROM e UNION ALL SELECT * FROM p)
+    SELECT x.vec_id AS left_id, y.vec_id AS right_id,
+           ROUND(list_cosine_similarity(x.v, y.v), 6) AS cosine
+    FROM a x JOIN a y ON x.vec_id < y.vec_id
+    WHERE list_cosine_similarity(x.v, y.v) >= 0.98
+    """,
+)
 def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random embeddings have no natural near-duplicates, so the query
     plants deterministic ones: vectors 0-19 get a slightly-scaled copy at
-    vec_id+100000 (cosine 1.0 up to float error); the LSH path must recover
-    exactly those pairs plus any true dups."""
+    vec_id+100000 (cosine 1.0 up to float error).  The oracle brute-forces
+    ALL pairwise cosines; equality verifies the sign-LSH path recovers
+    exactly the >= 0.98 pairs (recall 1 here: a scaled copy has identical
+    hyperplane signs, and random 64-dim pairs sit ~N(0, 1/8) away from the
+    0.98 cutoff)."""
     from easylink_spark.operators.textops import embedding_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -820,8 +959,20 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     both = emb.select("vec_id", "embedding").unionByName(planted)
-    return embedding_near_dup_pairs(both, "embedding", "vec_id", dim=64,
-                                    min_cosine=0.98)
+    pairs = embedding_near_dup_pairs(both, "embedding", "vec_id", dim=64,
+                                     min_cosine=0.98)
+    return pairs.select(
+        F.col("left_id").cast("long").alias("left_id"),
+        F.col("right_id").cast("long").alias("right_id"),
+        "cosine",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only entries (non-SQL-expressible: the iterative-LSH scale path's
+# candidate set at production parameters / the full pipeline) — driver
+# records row-count-only checks; pytest + the recall oracle cover semantics.
+# ---------------------------------------------------------------------------
 @q("minhash_lsh_dedup", None)
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -834,6 +985,41 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         F.col(f"`{K.LEFT_ID}`").alias("left_id"),
         F.col(f"`{K.RIGHT_ID}`").alias("right_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GOLDEN-FIXTURE PARITY: run the reference's splink-dummy pipeline
+# configuration on the reference's own shipped person fixtures and compare
+# against its golden cluster CSV (tests/e2e/pipeline_splink_dummy_results.csv)
+# — label-EXACT, not just label-invariant (Cluster ID = min record key on
+# both sides).  The oracle simply reads the golden file.
+# ---------------------------------------------------------------------------
+_REF_INPUTS = "/root/reference/src/easylink/steps/rl-dummy/input_data"
+_REF_GOLDEN = "/root/reference/tests/e2e/pipeline_splink_dummy_results.csv"
+
+
+@q(
+    "person_golden_clusters",
+    f"""
+    SELECT "Input Record Dataset" AS dataset,
+           CAST("Input Record ID" AS BIGINT) AS record_id,
+           CAST("Cluster ID" AS VARCHAR) AS cluster_id
+    FROM read_csv_auto('{_REF_GOLDEN}')
+    """,
+)
+def person_golden_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from easylink_spark.plans.person_linkage import run_splink_dummy_pipeline
+
+    datasets = {
+        name: spark.read.parquet(f"{_REF_INPUTS}/{name}.parquet")
+        for name in ("input_file_1", "input_file_2")
+    }
+    clusters = run_splink_dummy_pipeline(spark, datasets)
+    return clusters.select(
+        F.col(f"`{K.INPUT_RECORD_DATASET}`").alias("dataset"),
+        F.col(f"`{K.INPUT_RECORD_ID}`").cast("long").alias("record_id"),
+        F.col(f"`{K.CLUSTER_ID}`").cast("string").alias("cluster_id"),
     )
 
 

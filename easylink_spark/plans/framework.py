@@ -64,21 +64,70 @@ class Stage:
         return produced
 
 
+class PipelineGraphError(ValueError):
+    """Raised on dataflow cycles, missing producers, or duplicate slots."""
+
+
 @dataclass
 class Pipeline:
     stages: list[Stage]
+
+    def _topo_order(self, source_slots: set[str]) -> list[Stage]:
+        """Topologically order stages by slot dataflow (Kahn).  The
+        reference flattens nested step graphs and rejects cycles in
+        pipeline_graph.py:164-300; a caller-ordered list would silently
+        mis-run a shuffled stage list instead.
+
+        Rules: each slot has at most one producer; a stage is runnable when
+        every input slot is a source or already produced; ties keep the
+        caller's original order (deterministic)."""
+        producer: dict[str, Stage] = {}
+        for st in self.stages:
+            for s in st.outputs:
+                if s.name in producer:
+                    raise PipelineGraphError(
+                        f"slot {s.name!r} produced by both "
+                        f"{producer[s.name].name!r} and {st.name!r}"
+                    )
+                producer[s.name] = st
+        missing = [
+            (st.name, s.name)
+            for st in self.stages
+            for s in st.inputs
+            if s.name not in source_slots and s.name not in producer
+        ]
+        if missing:
+            raise PipelineGraphError(f"input slots with no producer: {missing}")
+
+        available = set(source_slots)
+        remaining = list(self.stages)
+        ordered: list[Stage] = []
+        while remaining:
+            ready = [
+                st for st in remaining
+                if all(s.name in available for s in st.inputs)
+            ]
+            if not ready:
+                cyc = [st.name for st in remaining]
+                raise PipelineGraphError(f"dataflow cycle among stages {cyc}")
+            for st in ready:
+                ordered.append(st)
+                available.update(s.name for s in st.outputs)
+            remaining = [st for st in remaining if st not in ready]
+        return ordered
 
     def run(
         self,
         sources: dict[str, DataFrame],
         runner=None,
     ) -> dict[str, DataFrame]:
-        """Execute stages in order (callers topologically order; slot-name
-        dataflow).  With a StageRunner, each produced slot checkpoints as
-        ``<stage>__<slot>`` with lineage on the stage's input slots."""
+        """Execute stages in topological slot-dataflow order (caller order
+        need not be sorted; cycles raise PipelineGraphError).  With a
+        StageRunner, each produced slot checkpoints as ``<stage>__<slot>``
+        with lineage on the stage's input slots."""
         env = dict(sources)
         produced_by: dict[str, str] = {}
-        for st in self.stages:
+        for st in self._topo_order(set(sources)):
             outs = st.run(env)
             if runner is not None:
                 for slot, df in outs.items():

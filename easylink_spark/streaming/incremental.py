@@ -86,6 +86,9 @@ def incremental_foreachBatch(
     """
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
         spark = batch_df.sparkSession
         new_clusters = G.links_to_clusters(batch_df, threshold, validate=False)
         try:
@@ -97,12 +100,19 @@ def incremental_foreachBatch(
             merged = G.update_clusters(known, new_clusters)
         else:
             merged = new_clusters
-        # write-then-swap would be better on object stores; local parquet
-        # overwrite reads the old state fully before the action, so persist
-        merged.persist()
-        merged.count()
-        merged.write.mode("overwrite").parquet(state_path)
-        merged.unpersist()
+        # Never overwrite the path the plan is still reading: an in-place
+        # overwrite relies on cached blocks surviving until the write ends —
+        # eviction mid-write would recompute against deleted files and
+        # corrupt the state.  Write to a versioned temp path, then atomically
+        # swap directories (rename is atomic on a POSIX filesystem; on an
+        # object store use a pointer file / Iceberg snapshot instead).
+        tmp_path = f"{state_path}.__new_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp_path)
+        old_path = f"{state_path}.__old_{batch_id}"
+        if os.path.exists(state_path):
+            os.rename(state_path, old_path)
+        os.rename(tmp_path, state_path)
+        shutil.rmtree(old_path, ignore_errors=True)
 
     return (
         links_stream.writeStream.foreachBatch(merge_batch)

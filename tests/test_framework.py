@@ -95,3 +95,68 @@ def test_readers(spark, tmp_ckpt):
 
     resolved = resolve_inputs(spark, {"one": tmp_ckpt + "/alpha.parquet"})
     assert resolved["one"].columns == ["id", "s"]
+
+
+def test_pipeline_topological_order_and_cycles(spark):
+    """A shuffled stage list must produce identical output (Pipeline.run
+    topo-sorts by slot dataflow, reference pipeline_graph.py:164-300), and a
+    dataflow cycle must raise instead of silently mis-running."""
+    from easylink_spark.plans.framework import PipelineGraphError
+
+    src = spark.createDataFrame([(1,), (2,)], "v long")
+    double = Stage("double", lambda ins: {"d": ins["raw"].selectExpr("v*2 AS v")},
+                   [Slot("raw")], [Slot("d")])
+    inc = Stage("inc", lambda ins: {"out": ins["d"].selectExpr("v+1 AS v")},
+                [Slot("d")], [Slot("out")])
+    ordered = Pipeline([double, inc]).run({"raw": src})
+    shuffled = Pipeline([inc, double]).run({"raw": src})  # wrong caller order
+    assert sorted(r.v for r in ordered["out"].collect()) == [3, 5]
+    assert sorted(r.v for r in shuffled["out"].collect()) == [3, 5]
+
+    cyc_a = Stage("a", lambda ins: {"x": ins["y"]}, [Slot("y")], [Slot("x")])
+    cyc_b = Stage("b", lambda ins: {"y": ins["x"]}, [Slot("x")], [Slot("y")])
+    with pytest.raises(PipelineGraphError, match="cycle"):
+        Pipeline([cyc_a, cyc_b]).run({})
+    dup = Stage("dup", lambda ins: {"d": ins["raw"]}, [Slot("raw")], [Slot("d")])
+    with pytest.raises(PipelineGraphError, match="produced by both"):
+        Pipeline([double, dup]).run({"raw": src})
+
+
+def test_spec_yaml_pipeline(spark, tmp_ckpt):
+    """YAML spec -> configured pipeline run (reference `easylink run` UX,
+    configuration.py:278-328), with unknown-key validation."""
+    import pytest as _pytest
+    import yaml
+
+    from easylink_spark.plans.spec import SpecError, load_spec, run_spec
+    from easylink_spark.synth import synth_transcripts
+
+    t_path = tmp_ckpt + "/transcripts"
+    synth_transcripts(spark, n_entities=30, seed=7).drop("entity_id") \
+        .write.mode("overwrite").parquet(t_path)
+    spec_path = tmp_ckpt + "/spec.yaml"
+    with open(spec_path, "w") as f:
+        yaml.safe_dump({
+            "pipeline": "dedup",
+            "input": {"transcripts": t_path},
+            "checkpoint_dir": tmp_ckpt + "/ckpt",
+            "config": {"threshold": 0.85, "use_lsh": False},
+        }, f)
+    spec = load_spec(spec_path)
+    clusters = run_spec(spec, spark)
+    assert clusters.count() > 0
+    assert "Cluster ID" in clusters.columns
+
+    with open(spec_path, "w") as f:
+        yaml.safe_dump({
+            "pipeline": "dedup",
+            "input": {"transcripts": t_path},
+            "checkpoint_dir": tmp_ckpt + "/ckpt2",
+            "config": {"no_such_option": 1},
+        }, f)
+    with _pytest.raises(SpecError, match="no_such_option"):
+        run_spec(load_spec(spec_path), spark)
+    with open(spec_path, "w") as f:
+        yaml.safe_dump({"pipeline": "bogus", "input": {"x": t_path}}, f)
+    with _pytest.raises(SpecError, match="pipeline must be one of"):
+        load_spec(spec_path)

@@ -124,3 +124,57 @@ def test_person_one_to_many(spark):
         .filter("count > 1")
     )
     assert sizes.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# GOLDEN-FIXTURE PARITY vs the reference's shipped e2e artifacts
+# ---------------------------------------------------------------------------
+_REF_INPUTS = "/root/reference/src/easylink/steps/rl-dummy/input_data"
+_REF_GOLDEN = "/root/reference/tests/e2e/pipeline_splink_dummy_results.csv"
+
+
+def test_splink_dummy_golden_partition(spark):
+    """Run the reference's splink-dummy pipeline configuration
+    (pipeline_splink_dummy.yaml: block on last_name, exact first+last
+    comparisons, prior 0.01, threshold 0.1) on the reference's OWN input
+    fixtures and assert the exact e2e criterion from
+    tests/e2e/test_pipelines_main_schema.py:147-172: frozenset-of-frozensets
+    cluster partition equality against the golden CSV — plus, stronger,
+    label-exact Cluster ID equality (both sides use min-record-key ids)."""
+    import os
+
+    import pandas as pd
+
+    from easylink_spark.plans.person_linkage import run_splink_dummy_pipeline
+
+    if not os.path.exists(_REF_GOLDEN):  # reference not mounted
+        import pytest
+
+        pytest.skip("reference fixtures unavailable")
+
+    datasets = {
+        name: spark.read.parquet(f"{_REF_INPUTS}/{name}.parquet")
+        for name in ("input_file_1", "input_file_2")
+    }
+    ours = run_splink_dummy_pipeline(spark, datasets).toPandas()
+    golden = pd.read_csv(_REF_GOLDEN)
+
+    def partition(df):
+        keys = (
+            df["Input Record Dataset"].astype(str)
+            + "-__-"
+            + df["Input Record ID"].astype(int).astype(str)
+        )
+        return frozenset(
+            frozenset(g) for g in keys.groupby(df["Cluster ID"]).apply(set)
+        )
+
+    ours["Input Record ID"] = ours["Input Record ID"].astype(int)
+    assert partition(ours) == partition(golden)
+    # label-exact: identical (dataset, id, cluster_id) triples
+    norm = lambda df: sorted(  # noqa: E731
+        (r["Input Record Dataset"], int(r["Input Record ID"]),
+         str(r["Cluster ID"]))
+        for _, r in df.iterrows()
+    )
+    assert norm(ours) == norm(golden)

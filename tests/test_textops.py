@@ -134,3 +134,52 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         M.extract_features(media, decode="real")
+
+
+def test_portable_simhash_matches_python_oracle(spark):
+    """The md5-derived 60-bit simhash must equal a pure-Python recompute
+    (the same arithmetic any SQL engine runs — the DuckDB oracle's basis)."""
+    import hashlib
+
+    rows = [(1, "alpha beta gamma"), (2, "alpha beta gamma delta"),
+            (3, "totally different words here")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["_id"]: r["simhash"]
+           for r in T.simhash_signatures(
+               df, "text", "doc_id", n_bits=60,
+               token_hash=T.portable_token_hash60).collect()}
+
+    def py_simhash(text):
+        sums = [0] * 60
+        for t in set(text.split(" ")):
+            hv = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for i in range(60):
+                sums[i] += 1 if (hv >> i) & 1 else -1
+        return sum(1 << i for i in range(60) if sums[i] > 0)
+
+    for doc_id, text in rows:
+        assert got[doc_id] == py_simhash(text)
+
+
+def test_hot_bucket_caps_bound_degenerate_corpora(spark):
+    """A corpus of thousands of identical docs must not go quadratic: the
+    hot-piece / hot-signature caps drop the degenerate buckets (exact dedup
+    owns identical content), so both near-dup paths return quickly and
+    emit no pairs."""
+    n = 4000
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id", "'same boilerplate text for everyone' AS text"
+    )
+    pairs = T.simhash_near_dup_pairs(
+        docs, "text", "doc_id", hot_piece_cap=100
+    )
+    assert pairs.count() == 0
+
+    emb = spark.range(n).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 8), x -> CAST(1.0 AS FLOAT)) AS embedding",
+    )
+    epairs = T.embedding_near_dup_pairs(
+        emb, "embedding", "vec_id", dim=8, hot_sig_cap=100
+    )
+    assert epairs.count() == 0
