@@ -99,7 +99,28 @@ def run_query_bench(spark) -> dict:
         t0 = time.time()
         n = fn(spark, SF_DIR).count()
         out[name] = {"sec": round(time.time() - t0, 2), "rows": n}
+    out["one_to_one_10k"] = run_assignment_microbench(spark)
     return out
+
+
+def run_assignment_microbench(spark, n_links: int = 10_000) -> dict:
+    """10k-link single-block 1:1 assignment (the grouped-map Hungarian /
+    greedy kernel) — tracks the numpy cost-matrix construction speedup."""
+    from pyspark.sql import functions as F
+
+    from easylink_spark.operators.assignment import one_to_one_assignment
+
+    links = spark.range(n_links).select(
+        F.lit("a").alias("Left Record Dataset"),
+        (F.col("id") % 2000).cast("string").alias("Left Record ID"),
+        F.lit("b").alias("Right Record Dataset"),
+        (F.col("id") % 3000).cast("string").alias("Right Record ID"),
+        (F.pmod(F.xxhash64("id"), F.lit(1000)) / 1000.0).alias("Probability"),
+        F.lit(0).alias("block_id"),
+    ).dropDuplicates(["Left Record ID", "Right Record ID"])
+    t0 = time.time()
+    n = one_to_one_assignment(links, "block_id").count()
+    return {"sec": round(time.time() - t0, 2), "rows": n}
 
 
 def main_single(cores: int) -> dict:

@@ -184,3 +184,27 @@ def choice(variants: dict[str, Stage], key: str) -> Stage:
     if key not in variants:
         raise ValueError(f"unknown choice {key!r}; have {sorted(variants)}")
     return variants[key]
+
+
+def subpipeline(
+    name: str,
+    inner: Pipeline,
+    inputs: list[Slot],
+    outputs: list[Slot],
+) -> Stage:
+    """HierarchicalStep (step.py:546-821): a whole Pipeline wrapped as ONE
+    Stage of an outer pipeline.  The inner pipeline runs with the stage's
+    validated input slots as its sources (itself topologically ordered,
+    cycles rejected), and the declared output slots are plucked from its
+    final environment — nested step graphs compose to any depth."""
+
+    def fn(ins: dict[str, DataFrame]) -> dict[str, DataFrame]:
+        env = inner.run(ins)
+        missing = [s.name for s in outputs if s.name not in env]
+        if missing:
+            raise KeyError(
+                f"subpipeline {name}: inner pipeline never produced {missing}"
+            )
+        return {s.name: env[s.name] for s in outputs}
+
+    return Stage(name, fn, inputs, outputs)

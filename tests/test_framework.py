@@ -160,3 +160,24 @@ def test_spec_yaml_pipeline(spark, tmp_ckpt):
         yaml.safe_dump({"pipeline": "bogus", "input": {"x": t_path}}, f)
     with _pytest.raises(SpecError, match="pipeline must be one of"):
         load_spec(spec_path)
+
+
+def test_subpipeline_nested_graphs(spark):
+    """HierarchicalStep analog: a whole Pipeline wrapped as one Stage of an
+    outer pipeline, nested composition + topo ordering at both levels."""
+    from easylink_spark.plans.framework import subpipeline
+
+    src = spark.createDataFrame([(2,), (4,)], "v long")
+    inner = Pipeline([
+        Stage("sq", lambda ins: {"sq": ins["x"].selectExpr("v*v AS v")},
+              [Slot("x")], [Slot("sq")]),
+        Stage("neg", lambda ins: {"y": ins["sq"].selectExpr("-v AS v")},
+              [Slot("sq")], [Slot("y")]),
+    ])
+    outer = Pipeline([
+        subpipeline("inner", inner, [Slot("x")], [Slot("y")]),
+        Stage("shift", lambda ins: {"out": ins["y"].selectExpr("v+1 AS v")},
+              [Slot("y")], [Slot("out")]),
+    ])
+    env = outer.run({"x": src})
+    assert sorted(r.v for r in env["out"].collect()) == [-15, -3]
