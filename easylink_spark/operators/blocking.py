@@ -187,6 +187,15 @@ def minhash_signatures(
     cluster even when the input is few bytes — minhash cost scales with
     rows x shingles, not bytes, so file-size-based partitioning
     under-parallelizes it.
+
+    The exploded rows carry only a COMPACT 8-byte record key (xxhash64 of
+    the string key) through the rows*shingles hash-aggregation — string
+    keys on every shingle row triple the memory traffic of the hottest
+    stage; the readable key columns are joined back onto the aggregated
+    (one-row-per-record) signatures afterwards.  A 64-bit key collision
+    merges two records' shingle sets in CANDIDATE generation only —
+    downstream scoring verifies every candidate pair, so a collision can
+    add a spurious candidate, never a wrong final link.
     """
     # multiple task waves (shuffle.partitions, not defaultParallelism) so
     # the CPU-heavy hashing stage doesn't end on its slowest single task
@@ -198,17 +207,18 @@ def minhash_signatures(
         F.col(f"`{INPUT_RECORD_ID}`").alias("_id"),
         record_key(f"`{INPUT_RECORD_DATASET}`", f"`{INPUT_RECORD_ID}`").alias("_rk"),
         F.col(f"`{text_col}`").alias("_txt"),
-    ).repartition(sc_parallelism, "_rk")
+    ).withColumn("_k8", F.xxhash64("_rk")).repartition(sc_parallelism, "_k8")
     exploded = keyed.select(
-        "_ds", "_id", "_rk", F.explode(_shingles(F.col("_txt"), shingle_k)).alias("_sh")
+        "_k8", F.explode(_shingles(F.col("_txt"), shingle_k)).alias("_sh")
     )
     hashed = exploded.select(
-        "_ds", "_id", "_rk",
+        "_k8",
         *[F.xxhash64(F.lit(i), "_sh").alias(f"h{i}") for i in range(num_hashes)],
     )
-    return hashed.groupBy("_ds", "_id", "_rk").agg(
+    sigs = hashed.groupBy("_k8").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
     )
+    return sigs.join(keyed.select("_k8", "_ds", "_id", "_rk"), "_k8").drop("_k8")
 
 
 def block_minhash_lsh(

@@ -250,19 +250,27 @@ def score_pairs(
     prior: float = 0.01,
     threshold: float = 0.5,
     validate: bool = True,
+    expensive_cols: set[str] | None = None,
 ) -> DataFrame:
     """End-to-end scoring: attach attributes, gammas, FS probability,
     threshold filter (P2) -> links contract.
+
+    ``expensive_cols`` enables TWO-PHASE scoring (splink's "filter on match
+    weight before expensive comparisons" idea): phase 1 attaches only the
+    cheap attribute columns and computes their gammas; a pair is pruned
+    when even the MAXIMUM possible weight from the expensive comparisons
+    cannot lift it over the threshold — a sound bound, so the surviving
+    link set is byte-identical to single-phase scoring.  Only survivors
+    join the fat columns (e.g. per-turn text arrays) and pay the O(L^2)
+    alignment comparators; at web scale most candidate pairs die cheaply.
 
     ``validate=False`` skips the in-plan contract check — callers that
     checkpoint the result validate the *stored* table instead (each
     validator action would otherwise recompute the whole scoring plan).
     """
     comparisons = comparisons or default_transcript_comparisons()
-    cols = sorted({c.input_col for c in comparisons})
     if any(c.tf_adjustment for c in comparisons):
         records = with_term_frequencies(records, comparisons)
-        cols += sorted(c.tf_col() for c in comparisons if c.tf_adjustment)
     # Comparator cost scales with pairs x text length, not bytes; a byte-small
     # pairs table would otherwise land on one input split and score on a
     # single task.  Spread pairs across the cluster before the double join —
@@ -270,8 +278,46 @@ def score_pairs(
     # (one wave = every stage waits on its slowest task).
     par = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     pairs = pairs.repartition(par, F.col(f"`{LEFT_DATASET}`"), F.col(f"`{LEFT_ID}`"))
-    attrs = attach_pair_attributes(pairs, records, cols)
-    gammas = compute_gammas(attrs, comparisons)
+
+    expensive_cols = expensive_cols or set()
+    cheap = [c for c in comparisons if c.input_col not in expensive_cols]
+    fat = [c for c in comparisons if c.input_col in expensive_cols]
+
+    def cols_of(comps: list[Comparison]) -> list[str]:
+        out = sorted({c.input_col for c in comps})
+        out += sorted(c.tf_col() for c in comps if c.tf_adjustment)
+        return out
+
+    if fat and cheap:
+        # phase 1: cheap gammas + provable upper bound on the final weight
+        attrs1 = attach_pair_attributes(pairs, records, cols_of(cheap))
+        g1 = compute_gammas(attrs1, cheap)
+        bound = fs_probability(g1, cheap, prior).withColumnRenamed(
+            "match_weight", "_w_cheap"
+        )
+        max_fat = sum(
+            max(math.log2(m / u) for m, u in zip(c.m, c.u)) for c in fat
+        )
+        # threshold in weight space: p >= t  <=>  w >= log2(t/(1-t))
+        w_t = math.log2(threshold / (1.0 - threshold))
+        survivors = bound.filter(
+            F.col("_w_cheap") + F.lit(max_fat) >= F.lit(w_t)
+        )
+        attrs2 = attach_pair_attributes(
+            survivors.select(
+                *[F.col(f"`{c}`") for c in PAIR_COLS],
+                *[F.col(c.gamma_col()) for c in cheap],
+                # tf columns of cheap tf-adjusted comparisons feed the final
+                # fs_probability and must survive the phase boundary
+                *[F.col(f"`{c.tf_col()}_l`") for c in cheap if c.tf_adjustment],
+            ),
+            records,
+            cols_of(fat),
+        )
+        gammas = compute_gammas(attrs2, fat)
+    else:
+        attrs = attach_pair_attributes(pairs, records, cols_of(comparisons))
+        gammas = compute_gammas(attrs, comparisons)
     scored = fs_probability(gammas, comparisons, prior)
     links = scored.filter(F.col(PROBABILITY) >= F.lit(threshold)).select(
         *[F.col(f"`{c}`") for c in PAIR_COLS], F.col(PROBABILITY)

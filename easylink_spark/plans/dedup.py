@@ -132,9 +132,13 @@ def run_dedup(
                 gammas, comparisons, cfg.prior, max_iter=cfg.em_iterations
             )
             gammas.unpersist()
+        # two-phase: pairs that provably cannot reach the threshold on the
+        # cheap comparators never join the fat per-turn arrays nor pay the
+        # O(L^2) turn-alignment comparator (same final links, less shuffle)
         return S.score_pairs(
             pairs, records, comparisons, prior=cfg.prior,
             threshold=cfg.threshold, validate=False,
+            expensive_cols={"turn_texts"},
         )
 
     links = runner.stage(

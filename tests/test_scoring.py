@@ -129,3 +129,22 @@ def test_tf_adjusted_weights_common_vs_rare(spark):
     # exact arithmetic: w = log2(prior odds)=0 + log2(m / tf)
     assert abs(w["1"] - math.log2(0.9 / (4 / 6))) < 1e-9
     assert abs(w["5"] - math.log2(0.9 / (2 / 6))) < 1e-9
+
+
+def test_two_phase_scoring_identical_links(spark):
+    """Two-phase scoring (cheap gammas -> provable weight bound -> fat
+    comparators on survivors only) must produce byte-identical links to
+    single-phase — the bound is sound, pruning only pairs that cannot
+    reach the threshold."""
+    from easylink_spark.operators.blocking import block_on_key
+    from easylink_spark.operators.features import conversation_features
+    from easylink_spark.synth import synth_transcripts
+
+    t = synth_transcripts(spark, n_entities=60, seed=9).drop("entity_id")
+    recs = conversation_features(t, "transcripts", 24, validate=False)
+    pairs = block_on_key(recs, F.col("first_prefix"))
+    one = S.score_pairs(pairs, recs, prior=0.01, threshold=0.85,
+                        validate=False)
+    two = S.score_pairs(pairs, recs, prior=0.01, threshold=0.85,
+                        validate=False, expensive_cols={"turn_texts"})
+    assert {tuple(r) for r in one.collect()} == {tuple(r) for r in two.collect()}
