@@ -105,6 +105,7 @@ def block_on_key(
     key: Column,
     hot_block_threshold: int = 512,
     max_salt: int = 64,
+    link_only: bool = False,
 ) -> DataFrame:
     """All unordered record pairs sharing ``key`` exactly.
 
@@ -114,6 +115,13 @@ def block_on_key(
     every salt group.  Every cross pair is still produced exactly once
     (under the left row's salt), but the work for a hot key spreads over S
     tasks.  Small blocks take the S=1 fast path untouched.
+
+    ``link_only=True`` emits only pairs SPANNING datasets (splink
+    link_type="link_only"; reference splink_blocking_and_filtering.py
+    LINK_ONLY env var).  The restriction is structural, not a post-filter:
+    each cross dataset-pair (A, B) joins the A-side rows against the B-side
+    rows, so the n^2/block intra-dataset combinations are never probed or
+    materialized.
     """
     keyed = _keyed(records, key)
     # Broadcast only the HOT keys (count > threshold) — a handful even at
@@ -142,16 +150,41 @@ def block_on_key(
     right = salted.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.col("_s") - 1))
     )
-    pairs = (
-        left.alias("l")
-        .join(
-            right.alias("r"),
-            (F.col("l._bkey") == F.col("r._bkey"))
-            & (F.col("l._salt") == F.col("r._salt"))
-            & (F.col("l._rk") < F.col("r._rk")),
+    if link_only:
+        # one equi-join per ordered dataset pair, sides pre-filtered to one
+        # dataset each — intra-dataset row combinations never enter a hash
+        # bucket.  The dataset list is metadata-cardinality (a handful).
+        datasets = sorted(
+            r["_ds"] for r in keyed.select("_ds").distinct().collect()
         )
-        .select(*_pair_select())
-    )
+        if len(datasets) < 2:
+            raise ValueError("link_only blocking needs >= 2 datasets")
+        joined = []
+        for i, a in enumerate(datasets):
+            for b in datasets[i + 1:]:
+                joined.append(
+                    left.filter(F.col("_ds") == a).alias("l")
+                    .join(
+                        right.filter(F.col("_ds") == b).alias("r"),
+                        (F.col("l._bkey") == F.col("r._bkey"))
+                        & (F.col("l._salt") == F.col("r._salt")),
+                    )
+                    .select(*_pair_select())
+                )
+        pairs = joined[0]
+        for j in joined[1:]:
+            pairs = pairs.unionByName(j)
+    else:
+        pairs = (
+            left.alias("l")
+            .join(
+                right.alias("r"),
+                (F.col("l._bkey") == F.col("r._bkey"))
+                & (F.col("l._salt") == F.col("r._salt"))
+                & (F.col("l._rk") < F.col("r._rk")),
+            )
+            .select(*_pair_select())
+        )
     return canonicalize_pairs(pairs)
 
 
@@ -228,6 +261,7 @@ def block_minhash_lsh(
     bands: int = 8,
     shingle_k: int = 3,
     hot_bucket_cap: int = 2000,
+    link_only: bool = False,
 ) -> DataFrame:
     """Candidate pairs whose minhash signatures collide in >=1 LSH band.
 
@@ -236,6 +270,10 @@ def block_minhash_lsh(
     dropped (boilerplate text producing near-Cartesian buckets) with the
     drop surfaced in the plan via an explicit filter — the exact-key rule
     with salting is the path that owns genuinely hot keys.
+
+    ``link_only=True`` restricts to cross-dataset pairs (splink
+    link_type="link_only") via a join-side dataset split, mirroring
+    ``block_on_key``.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -260,17 +298,40 @@ def block_minhash_lsh(
         .filter(F.col("_bn") > hot_bucket_cap)
     )
     ok = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
-    pairs = (
-        ok.alias("l")
-        .join(
-            ok.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l._rk") < F.col("r._rk")),
+    if link_only:
+        datasets = sorted(
+            r["_ds"] for r in ok.select("_ds").distinct().collect()
         )
-        .select(*_pair_select())
-        .dropDuplicates(PAIR_COLS)
-    )
+        if len(datasets) < 2:
+            raise ValueError("link_only blocking needs >= 2 datasets")
+        joined = []
+        for i, a in enumerate(datasets):
+            for b in datasets[i + 1:]:
+                joined.append(
+                    ok.filter(F.col("_ds") == a).alias("l")
+                    .join(
+                        ok.filter(F.col("_ds") == b).alias("r"),
+                        (F.col("l.band") == F.col("r.band"))
+                        & (F.col("l.bucket") == F.col("r.bucket")),
+                    )
+                    .select(*_pair_select())
+                )
+        pairs = joined[0]
+        for j in joined[1:]:
+            pairs = pairs.unionByName(j)
+        pairs = pairs.dropDuplicates(PAIR_COLS)
+    else:
+        pairs = (
+            ok.alias("l")
+            .join(
+                ok.alias("r"),
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col("l._rk") < F.col("r._rk")),
+            )
+            .select(*_pair_select())
+            .dropDuplicates(PAIR_COLS)
+        )
     return canonicalize_pairs(pairs)
 
 

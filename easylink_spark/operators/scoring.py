@@ -68,6 +68,9 @@ class Comparison:
     u: list[float]
     tf_adjustment: bool = False
     tf_weight: float = 1.0
+    #: gamma is plain (null-guarded) equality on ``input_col`` — enables the
+    #: EXACT closed-form u (``estimate_u_exact``) instead of pair sampling
+    is_exact_equality: bool = False
 
     @property
     def n_levels(self) -> int:
@@ -80,15 +83,27 @@ class Comparison:
         return f"tf_{self.name}"
 
 
-def _leveled(sim: Callable[[Column, Column], Column], cuts: list[float]):
+def _leveled(
+    sim: Callable[[Column, Column], Column],
+    cuts: list[float],
+    null_level: bool = False,
+):
     """Similarity fn + descending threshold cuts -> gamma level expr.
-    cuts=[0.94, 0.88] -> sim>=0.94 -> 2; >=0.88 -> 1; else 0."""
+    cuts=[0.94, 0.88] -> sim>=0.94 -> 2; >=0.88 -> 1; else 0.
+
+    ``null_level=True`` adds splink's NULL comparison level: if either input
+    is null the gamma is -1, which contributes ZERO match weight (neither
+    agreement evidence nor disagreement penalty) and is excluded from m/u
+    estimation — mirroring splink ComparisonLevel null_level semantics
+    (reference: cl.ExactMatch et al., splink_evaluating_pairs.py:28-35)."""
 
     def g(l: Column, r: Column) -> Column:
         s = sim(l, r)
         expr = F.lit(0)
         for i, cut in enumerate(reversed(cuts), start=1):
             expr = F.when(s >= F.lit(cut), i).otherwise(expr)
+        if null_level:
+            expr = F.when(l.isNull() | r.isNull(), F.lit(-1)).otherwise(expr)
         return expr.cast("int")
 
     return g
@@ -222,7 +237,10 @@ def fs_probability(
 
     For tf-adjusted comparisons the TOP (exact-match) level's weight is
     shifted by tf_weight * log2(u_k / tf(v)) — per-pair arithmetic over the
-    ``tf_<name>_l`` column attached upstream (see Comparison docstring)."""
+    ``tf_<name>_l`` column attached upstream (see Comparison docstring).
+
+    A NEGATIVE gamma (the splink null level, see ``_leveled``) contributes
+    zero weight for that comparison."""
     w: Column = F.lit(math.log2(prior / (1.0 - prior)))
     for c in comparisons:
         # map gamma level -> log2(m/u) via chained when (levels are tiny)
@@ -236,7 +254,7 @@ def fs_probability(
                 )
                 level_w = level_w + F.coalesce(adj, F.lit(0.0))
             lw = F.when(F.col(c.gamma_col()) == k, level_w).otherwise(lw)
-        w = w + lw
+        w = w + F.when(F.col(c.gamma_col()) < 0, F.lit(0.0)).otherwise(lw)
     out = gammas.withColumn("match_weight", w).withColumn(
         PROBABILITY, F.lit(1.0) / (F.lit(1.0) + F.pow(F.lit(2.0), -F.col("match_weight")))
     )
@@ -289,14 +307,26 @@ def score_pairs(
         return out
 
     if fat and cheap:
+        # The pruning bound below assumes a fat comparison's weight is capped
+        # by max_k log2(m_k/u_k); a tf-adjusted fat comparison can exceed it
+        # by tf_weight*log2(u_k/tf(v)) — unbounded for rare values — which
+        # would break the byte-identical-to-single-phase guarantee.
+        if any(c.tf_adjustment for c in fat):
+            raise ValueError(
+                "two-phase scoring (expensive_cols) does not support "
+                "tf-adjusted expensive comparisons; score them single-phase"
+            )
         # phase 1: cheap gammas + provable upper bound on the final weight
         attrs1 = attach_pair_attributes(pairs, records, cols_of(cheap))
         g1 = compute_gammas(attrs1, cheap)
         bound = fs_probability(g1, cheap, prior).withColumnRenamed(
             "match_weight", "_w_cheap"
         )
+        # 0.0 included: the null level (gamma -1) contributes zero weight,
+        # which is the max when every non-null level weight is negative
         max_fat = sum(
-            max(math.log2(m / u) for m, u in zip(c.m, c.u)) for c in fat
+            max([math.log2(m / u) for m, u in zip(c.m, c.u)] + [0.0])
+            for c in fat
         )
         # threshold in weight space: p >= t  <=>  w >= log2(t/(1-t))
         w_t = math.log2(threshold / (1.0 - threshold))
@@ -328,6 +358,77 @@ def score_pairs(
 
 
 # ---------------------------------------------------------------------------
+# EXACT u for equality comparisons (A5 closed form)
+# ---------------------------------------------------------------------------
+def estimate_u_exact(
+    records: DataFrame,
+    comparisons: list[Comparison],
+    link_only: bool = False,
+    floor: float = 1e-9,
+) -> list[Comparison]:
+    """Closed-form u for comparisons whose gamma is plain equality
+    (``is_exact_equality``): u_1 = P(values equal | random pair, both
+    non-null), computed EXACTLY from per-value counts — no pair sampling.
+
+    For a value v with per-dataset non-null counts n_d(v):
+      link_only  : matches = sum_v ((sum_d n_d(v))^2 - sum_d n_d(v)^2) / 2
+                   total   = ((sum_d N_d)^2 - sum_d N_d^2) / 2
+      dedupe     : matches = sum_v n(v)(n(v)-1)/2,  total = N(N-1)/2
+
+    One groupBy per column over (value, dataset) — count-table scale, never
+    pairs — deterministic at any parallelism, unlike sampled estimates whose
+    noise can flip threshold-marginal patterns.  Non-exact comparisons pass
+    through unchanged (estimate them with :func:`estimate_u`).  Reference:
+    splink estimates the same quantity by random sampling
+    (splink_evaluating_pairs.py:67); the closed form is the scale-correct
+    replacement for equality levels.
+    """
+    out = []
+    for c in comparisons:
+        if not c.is_exact_equality:
+            out.append(c)
+            continue
+        if c.n_levels != 2:
+            raise ValueError(
+                f"estimate_u_exact: {c.name} marked exact but has "
+                f"{c.n_levels} levels"
+            )
+        col = F.col(f"`{c.input_col}`")
+        counts = (
+            records.filter(col.isNotNull())
+            .groupBy(col.alias("_v"), F.col(f"`{INPUT_RECORD_DATASET}`").alias("_d"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        if link_only:
+            row = counts.groupBy("_v").agg(
+                F.sum("_n").alias("_t"),
+                F.sum(F.col("_n") * F.col("_n")).alias("_sq"),
+            ).agg(
+                F.sum((F.col("_t") * F.col("_t") - F.col("_sq")) / 2).alias("_m"),
+                F.sum("_t").alias("_N"),
+            ).collect()[0]
+            per_ds = counts.groupBy("_d").agg(F.sum("_n").alias("_n")).collect()
+            total = (row["_N"] ** 2 - sum(r["_n"] ** 2 for r in per_ds)) / 2.0
+        else:
+            row = counts.groupBy("_v").agg(F.sum("_n").alias("_t")).agg(
+                F.sum(F.col("_t") * (F.col("_t") - 1) / 2).alias("_m"),
+                F.sum("_t").alias("_N"),
+            ).collect()[0]
+            total = row["_N"] * (row["_N"] - 1) / 2.0
+        u1 = max(floor, min(1.0 - floor, (row["_m"] or 0.0) / max(total, 1.0)))
+        out.append(replace_u(c, [1.0 - u1, u1]))
+    return out
+
+
+def replace_u(c: Comparison, u: list[float]) -> Comparison:
+    return Comparison(
+        c.name, c.input_col, c.gamma, list(c.m), u,
+        tf_adjustment=c.tf_adjustment, tf_weight=c.tf_weight,
+        is_exact_equality=c.is_exact_equality,
+    )
+
+
+# ---------------------------------------------------------------------------
 # u estimation by seeded random pair sampling (A5)
 # ---------------------------------------------------------------------------
 def estimate_u(
@@ -336,17 +437,35 @@ def estimate_u(
     max_pairs: int = 1_000_000,
     seed: int = 1234,
     floor: float = 1e-4,
+    link_only: bool = False,
 ) -> list[Comparison]:
     """Estimate u_k = P(gamma=k | non-match) from random record pairs
     (reference: estimate_u_using_random_sampling(max_pairs=5e6, seed=1234),
     splink_evaluating_pairs.py:67).  Sampling is by deterministic hash of the
     record key, not by partition, so results are identical at any
-    parallelism (SURVEY §4.2.3)."""
-    n = records.count()
-    if n < 2:
+    parallelism (SURVEY §4.2.3).
+
+    ``link_only=True`` restricts the sampled pair universe to CROSS-dataset
+    pairs, mirroring splink's link_type="link_only" u estimation — intra-
+    dataset pairs would bias u upward when a dataset carries duplicates.
+    Null gammas (level -1) are excluded per comparison: u_k is normalized
+    over the comparison's non-null sampled pairs only."""
+    if link_only:
+        counts = [
+            r["_n"]
+            for r in records.groupBy(F.col(f"`{INPUT_RECORD_DATASET}`"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        ]
+        n = sum(counts)
+        universe = (n * n - sum(c * c for c in counts)) / 2.0
+    else:
+        n = records.count()
+        universe = n * (n - 1) / 2.0
+    if n < 2 or universe <= 0:
         return comparisons
-    # fraction so that f^2 * n^2 ~= max_pairs
-    f = min(1.0, math.sqrt(max_pairs) / n)
+    # fraction so that f^2 * universe ~= max_pairs
+    f = min(1.0, math.sqrt(max_pairs / universe))
     cols = sorted({c.input_col for c in comparisons})
     key_hash = F.xxhash64(
         F.col(f"`{INPUT_RECORD_DATASET}`"),
@@ -374,6 +493,10 @@ def estimate_u(
         F.concat_ws("-", F.col(f"`{LEFT_DATASET}`"), F.col(f"`{LEFT_ID}`"))
         < F.concat_ws("-", F.col(f"`{RIGHT_DATASET}`"), F.col(f"`{RIGHT_ID}`"))
     )
+    if link_only:
+        pairs = pairs.filter(
+            F.col(f"`{LEFT_DATASET}`") != F.col(f"`{RIGHT_DATASET}`")
+        )
     gammas = compute_gammas(pairs, comparisons)
     aggs = gammas.agg(
         F.count(F.lit(1)).alias("_n"),
@@ -385,12 +508,14 @@ def estimate_u(
             for k in range(c.n_levels)
         ],
     ).collect()[0]
-    total = aggs["_n"] or 1
     out = []
     for c in comparisons:
+        # per-comparison denominator: non-null sampled pairs only (rows at
+        # the null level -1 fall in no k-bucket and must not dilute u)
+        total = sum(aggs[f"{c.gamma_col()}_{k}"] for k in range(c.n_levels)) or 1
         u = [max(floor, aggs[f"{c.gamma_col()}_{k}"] / total) for k in range(c.n_levels)]
         s = sum(u)
-        out.append(Comparison(c.name, c.input_col, c.gamma, list(c.m), [x / s for x in u]))
+        out.append(replace_u(c, [x / s for x in u]))
     return out
 
 
@@ -410,45 +535,69 @@ def estimate_m_u_em(
     (reference: estimate_parameters_using_expectation_maximisation,
     splink_evaluating_pairs.py:69-74).
 
-    E-step: per-pair match posterior p from current params (column expr);
+    E-step: per-pair match posterior p from current params;
     M-step: m_k = sum p[gamma=k]/sum p, u_k = sum (1-p)[gamma=k]/sum (1-p);
-    prior lambda = mean p.  Driver loop of DataFrame aggregations; the gammas
-    input should be cached by the caller.
+    prior lambda = mean p.  Null gammas (level -1) contribute a factor of 1
+    to the likelihood and are excluded from that comparison's m/u counts
+    (splink ComparisonLevel null semantics).
+
+    Implementation: the comparison-vector table is first reduced to PATTERN
+    COUNTS — one aggregation over (gamma_1..gamma_K) with map-side combine,
+    collecting a table bounded by the observed pattern space (<= prod of
+    level counts, typically tens of rows) — then the EM fixpoint runs on
+    the driver over that tiny table.  One Spark job total, instead of one
+    full-table aggregation per EM iteration; identical math, since the
+    posterior depends on the pair only through its pattern.
     """
-    comps = [Comparison(c.name, c.input_col, c.gamma, list(c.m), list(c.u))
-             for c in comparisons]
+    import numpy as np
+
+    comps = [
+        Comparison(c.name, c.input_col, c.gamma, list(c.m), list(c.u),
+                   tf_adjustment=c.tf_adjustment, tf_weight=c.tf_weight,
+                   is_exact_equality=c.is_exact_equality)
+        for c in comparisons
+    ]
+    gcols = [c.gamma_col() for c in comps]
+    pat_rows = (
+        gammas.groupBy(*[F.col(g) for g in gcols])
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    if not pat_rows:
+        return comps, prior
+    gv = {g: np.array([r[g] for r in pat_rows]) for g in gcols}
+    n = np.array([r["_n"] for r in pat_rows], dtype=np.float64)
+    n_total = n.sum() or 1.0
+
     lam = prior
     for _ in range(max_iter):
-        scored = fs_probability(gammas, comps, lam)
-        agg_exprs = [F.sum(PROBABILITY).alias("_sp"),
-                     F.count(F.lit(1)).alias("_n")]
+        # E-step: posterior per pattern (log space; null level -> factor 1)
+        logodds = np.full(len(n), math.log(lam / (1.0 - lam)))
         for c in comps:
+            g = gv[c.gamma_col()]
+            m_arr = np.ones(len(n))
+            u_arr = np.ones(len(n))
             for k in range(c.n_levels):
-                is_k = F.col(c.gamma_col()) == k
-                agg_exprs.append(
-                    F.sum(F.when(is_k, F.col(PROBABILITY)).otherwise(0.0)).alias(
-                        f"m_{c.name}_{k}"
-                    )
-                )
-                agg_exprs.append(
-                    F.sum(F.when(is_k, 1 - F.col(PROBABILITY)).otherwise(0.0)).alias(
-                        f"u_{c.name}_{k}"
-                    )
-                )
-        row = scored.agg(*agg_exprs).collect()[0]
-        sp, n = row["_sp"] or 0.0, row["_n"] or 1
-        new_lam = min(max(sp / n, 1e-9), 1 - 1e-9)
+                m_arr = np.where(g == k, c.m[k], m_arr)
+                u_arr = np.where(g == k, c.u[k], u_arr)
+            logodds += np.log(m_arr) - np.log(u_arr)
+        p = 1.0 / (1.0 + np.exp(-np.clip(logodds, -700, 700)))
+
+        new_lam = float(np.clip((p * n).sum() / n_total, 1e-9, 1 - 1e-9))
         delta = abs(new_lam - lam)
         for c in comps:
-            m_tot = sum(row[f"m_{c.name}_{k}"] for k in range(c.n_levels)) or 1.0
-            u_tot = sum(row[f"u_{c.name}_{k}"] for k in range(c.n_levels)) or 1.0
-            new_m = [max(floor, row[f"m_{c.name}_{k}"] / m_tot) for k in range(c.n_levels)]
+            g = gv[c.gamma_col()]
+            m_counts = [float((p * n)[g == k].sum()) for k in range(c.n_levels)]
+            u_counts = [float(((1 - p) * n)[g == k].sum()) for k in range(c.n_levels)]
+            m_tot = sum(m_counts) or 1.0
+            u_tot = sum(u_counts) or 1.0
+            new_m = [max(floor, x / m_tot) for x in m_counts]
             sm = sum(new_m)
             new_m = [x / sm for x in new_m]
             delta = max(delta, max(abs(a - b) for a, b in zip(new_m, c.m)))
             c.m = new_m
             if update_u:
-                new_u = [max(floor, row[f"u_{c.name}_{k}"] / u_tot) for k in range(c.n_levels)]
+                new_u = [max(floor, x / u_tot) for x in u_counts]
                 su = sum(new_u)
                 new_u = [x / su for x in new_u]
                 delta = max(delta, max(abs(a - b) for a, b in zip(new_u, c.u)))
