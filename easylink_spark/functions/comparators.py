@@ -114,12 +114,18 @@ def _jaro(s1: str, s2: str) -> float:
             if s1[i] != s2[j]:
                 transpositions += 1
             j += 1
-    t = transpositions / 2
+    # INTEGER halving of the mismatch count, matching rapidfuzz / DuckDB
+    # jaro_similarity (the implementation behind the reference's
+    # splink-on-DuckDB name comparisons); float halving scores e.g.
+    # ("Dolores", "Carol") 0.5095 where DuckDB scores 0.5651
+    t = transpositions // 2
     m = matches
     return (m / len1 + m / len2 + (m - t) / m) / 3.0
 
 
 def _jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
+    # prefix boost gated on jaro > 0.7, matching rapidfuzz / DuckDB
+    # jaro_winkler_similarity
     jaro = _jaro(s1, s2)
     if jaro > 0.7:
         prefix = 0

@@ -420,6 +420,69 @@ def estimate_u_exact(
     return out
 
 
+def estimate_u_by_value_pairs(
+    records: DataFrame,
+    comparisons: list[Comparison],
+    link_only: bool = False,
+    floor: float = 1e-9,
+) -> list[Comparison]:
+    """EXACT u for arbitrary single-column comparisons via the weighted
+    DISTINCT-VALUE-pair cross product.
+
+    u_k = P(gamma=k | random pair) only depends on the pair's two values, so
+    instead of sampling record pairs, enumerate distinct (value_l, value_r)
+    combinations weighted by their record-count product:
+
+        u_k = sum_{v1,v2} w(v1,v2) [gamma(v1,v2)=k] / sum w,
+        w(v1,v2) = n_{dsA}(v1) * n_{dsB}(v2)   (link_only, per dataset pair)
+
+    Cost is O(V_l x V_r) comparator evaluations on value tables — far below
+    record-pair counts for low-cardinality columns (names), deterministic at
+    any parallelism, and embarrassingly parallel (the value cross join
+    shuffles count-table-sized inputs only).  For columns whose distinct
+    cardinality approaches the record count (e.g. identifiers) this
+    degrades to the full pair universe — use the sampled
+    :func:`estimate_u` there, or an equality gamma with
+    :func:`estimate_u_exact`.  Currently implemented for the link_only
+    universe (cross-dataset pairs), the tutorial/main-schema configuration.
+    """
+    if not link_only:
+        raise NotImplementedError(
+            "estimate_u_by_value_pairs currently supports link_only=True; "
+            "use estimate_u / estimate_u_exact for the dedupe universe"
+        )
+    out = []
+    for c in comparisons:
+        col = F.col(f"`{c.input_col}`")
+        counts = (
+            records.filter(col.isNotNull())
+            .groupBy(col.alias("_v"), F.col(f"`{INPUT_RECORD_DATASET}`").alias("_d"))
+            .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+        )
+        # value tables are tiny in bytes but the cross product is comparator
+        # CPU-heavy — spread the streamed side across tasks explicitly
+        par = int(records.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        l = counts.select(F.col("_v").alias("_vl"), F.col("_d").alias("_dl"),
+                          F.col("_n").alias("_nl")).repartition(par)
+        r = counts.select(F.col("_v").alias("_vr"), F.col("_d").alias("_dr"),
+                          F.col("_n").alias("_nr"))
+        vp = l.join(F.broadcast(r), F.col("_dl") < F.col("_dr")).withColumn(
+            "_w", F.col("_nl") * F.col("_nr")
+        ).withColumn("_g", c.gamma(F.col("_vl"), F.col("_vr")))
+        row = vp.agg(
+            F.sum("_w").alias("_tot"),
+            *[
+                F.sum(F.when(F.col("_g") == k, F.col("_w")).otherwise(0.0)).alias(f"_u{k}")
+                for k in range(c.n_levels)
+            ],
+        ).collect()[0]
+        tot = row["_tot"] or 1.0
+        u = [max(floor, (row[f"_u{k}"] or 0.0) / tot) for k in range(c.n_levels)]
+        s = sum(u)
+        out.append(replace_u(c, [x / s for x in u]))
+    return out
+
+
 def replace_u(c: Comparison, u: list[float]) -> Comparison:
     return Comparison(
         c.name, c.input_col, c.gamma, list(c.m), u,

@@ -968,24 +968,10 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# Rows-only entries (non-SQL-expressible: the iterative-LSH scale path's
-# candidate set at production parameters / the full pipeline) — driver
-# records row-count-only checks; pytest + the recall oracle cover semantics.
-# ---------------------------------------------------------------------------
-@q("minhash_lsh_dedup", None)
-def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    records = docs.select(
-        F.lit("documents").alias(K.INPUT_RECORD_DATASET),
-        F.col("doc_id").cast("string").alias(K.INPUT_RECORD_ID),
-        F.col("text"),
-    )
-    pairs = B.block_minhash_lsh(records, "text", num_hashes=32, bands=8)
-    return pairs.select(
-        F.col(f"`{K.LEFT_ID}`").alias("left_id"),
-        F.col(f"`{K.RIGHT_ID}`").alias("right_id"),
-    )
+# (the former rows-only `minhash_lsh_dedup` entry was retired in round 3:
+# its candidate set at identical parameters is exactly what the
+# oracle-checked `minhash_lsh_recall` query asserts recall over, so it
+# added no coverage — see VERDICT.md round 2 "What's missing" #4)
 
 
 # ---------------------------------------------------------------------------
@@ -1023,19 +1009,87 @@ def person_golden_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("transcript_dedup_pipeline", None)
+@q(
+    "transcript_dedup_pipeline",
+    # Planted-truth oracle: the flagship dedup pipeline must recover the
+    # synthetic entity partition EXACTLY (pairwise tp/fp/fn against the
+    # planted entity_id labels, plus cluster/record counts).  The expected
+    # constants are fully determined by the deterministic synth seed; any
+    # precision or recall loss changes tp/fp/fn and fails the hash compare.
+    """
+    SELECT 327 AS n_records,
+           121 AS n_clusters,
+           CAST(312 AS BIGINT) AS tp,
+           CAST(0 AS BIGINT) AS fp,
+           CAST(0 AS BIGINT) AS fn
+    """,
+)
 def transcript_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from easylink_spark.plans.dedup import DedupConfig, run_dedup
-    from easylink_spark.synth import synth_transcripts
+    from easylink_spark.synth import labels_of, synth_transcripts
 
-    t = synth_transcripts(spark, n_entities=150, seed=42).drop("entity_id")
+    t = synth_transcripts(spark, n_entities=150, seed=42).persist()
+    labels = labels_of(t)
     ckpt = tempfile.mkdtemp(prefix="elspark_driver_")
-    clusters = run_dedup(spark, t, ckpt, DedupConfig())
+    clusters = run_dedup(spark, t.drop("entity_id"), ckpt, DedupConfig())
+    pred = clusters.select(
+        F.col(f"`{K.INPUT_RECORD_ID}`").alias("cid"),
+        F.col(f"`{K.CLUSTER_ID}`").alias("cl"),
+    )
+    pp = (
+        pred.alias("a")
+        .join(pred.alias("b"),
+              (F.col("a.cl") == F.col("b.cl")) & (F.col("a.cid") < F.col("b.cid")))
+        .select(F.col("a.cid").alias("l"), F.col("b.cid").alias("r"))
+    )
+    tr = (
+        labels.alias("a")
+        .join(labels.alias("b"),
+              (F.col("a.entity_id") == F.col("b.entity_id"))
+              & (F.col("a.conv_id") < F.col("b.conv_id")))
+        .select(F.col("a.conv_id").alias("l"), F.col("b.conv_id").alias("r"))
+    )
+    tp = pp.join(tr, ["l", "r"]).count()
+    return spark.createDataFrame(
+        [(pred.count(), pred.select("cl").distinct().count(),
+          tp, pp.count() - tp, tr.count() - tp)],
+        "n_records int, n_clusters int, tp long, fp long, fn long",
+    )
+
+
+_REF_TUTORIAL_GOLDEN = "/root/reference/tests/e2e/pipeline_naive_results.csv"
+
+
+@q(
+    "person_golden_naive",
+    # Label-invariant cluster-partition equality against the reference's
+    # tutorial-scale golden (15,816 rows): both sides relabel each cluster
+    # to the MIN member record key, so the row sets are equal iff the
+    # partitions are identical (test_pipelines_main_schema.py:160-182).
+    f"""
+    SELECT dataset, record_id, min(rk) OVER (PARTITION BY cl) AS cluster_label
+    FROM (
+        SELECT "Input Record Dataset" AS dataset,
+               CAST("Input Record ID" AS BIGINT) AS record_id,
+               "Cluster ID" AS cl,
+               "Input Record Dataset" || '-__-' ||
+                   CAST("Input Record ID" AS VARCHAR) AS rk
+        FROM read_csv_auto('{_REF_TUTORIAL_GOLDEN}')
+    )
+    """,
+)
+def person_golden_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from easylink_spark.plans.tutorial import run_tutorial_pipeline
+
+    clusters = run_tutorial_pipeline(spark)
+    # Cluster ID is already the min member record key (connected_components
+    # labels a component by its min node); emit it as the canonical label.
     return clusters.select(
-        F.col(f"`{K.INPUT_RECORD_ID}`").alias("record_id"),
-        F.col(f"`{K.CLUSTER_ID}`").alias("cluster_id"),
+        F.col(f"`{K.INPUT_RECORD_DATASET}`").alias("dataset"),
+        F.col(f"`{K.INPUT_RECORD_ID}`").cast("long").alias("record_id"),
+        F.col(f"`{K.CLUSTER_ID}`").cast("string").alias("cluster_label"),
     )
 
 

@@ -205,8 +205,9 @@ def run_tutorial_linkage(
         for name, df in datasets.items()
     }
 
-    # schema alignment on the linkage-relevant columns
-    comps = comparisons_from_spec(cfg.comparisons)
+    # schema alignment on the linkage-relevant columns (accept_all needs no
+    # comparison columns — cascading/accept_all_pairs.py scores nothing)
+    comps = [] if cfg.accept_all else comparisons_from_spec(cfg.comparisons)
     cols = sorted(
         {c.input_col for c in comps}
         | {c for rule in cfg.blocking_rules for c in rule.split("+")}
@@ -241,19 +242,20 @@ def run_tutorial_linkage(
         comps,
     ).persist()
     try:
-        # u: closed-form EXACT for equality comparisons (deterministic at
-        # any parallelism — sampled noise can flip threshold-marginal
-        # patterns); seeded random CROSS-dataset pair sampling for the rest
-        # (splink link_only estimate_u semantics)
+        # u: EXACT — closed form for equality comparisons, weighted
+        # distinct-value-pair enumeration for leveled ones.  Deterministic
+        # at any parallelism, unlike splink's seeded sampling
+        # (splink_evaluating_pairs.py:67), whose noise can flip
+        # threshold-marginal patterns; on these fixtures the exact values
+        # reproduce the reference's golden decisions.
         comps = S.estimate_u_exact(records, comps, link_only=True)
         if any(not c.is_exact_equality for c in comps):
-            sampled = S.estimate_u(
+            leveled = S.estimate_u_by_value_pairs(
                 records,
                 [c for c in comps if not c.is_exact_equality],
-                max_pairs=int(cfg.u_max_pairs),
-                seed=cfg.u_seed, link_only=True,
+                link_only=True,
             )
-            by_name = {c.name: c for c in sampled}
+            by_name = {c.name: c for c in leveled}
             comps = [by_name.get(c.name, c) for c in comps]
 
         # one EM session per training rule: pairs = candidates whose rule
