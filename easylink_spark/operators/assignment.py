@@ -62,8 +62,10 @@ def _assign_block(pdf: pd.DataFrame) -> pd.DataFrame:
         chosen[r_idx[ok], c_idx[ok]] = True
         mask = chosen[l_codes, r_codes]
         return pdf[mask].drop(columns=["_logit"])
-    # greedy fallback: deterministic order, each key used once — vectorized
-    # scan over numpy arrays instead of iterrows
+    # greedy fallback (scipy absent only): deterministic order, each key used
+    # once.  The O(rows) Python scan is bounded by the per-block link count —
+    # callers cap block sizes at blocking time (hot_block_threshold), so no
+    # single grouped-map batch sees an unbounded row count.
     pdf = pdf.sort_values(["_logit", "_lk", "_rk"],
                           ascending=[False, True, True])
     lks = pdf["_lk"].to_numpy(dtype=object)

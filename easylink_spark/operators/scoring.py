@@ -34,6 +34,7 @@ from easylink_spark.contracts import (
     PROBABILITY,
     RIGHT_DATASET,
     RIGHT_ID,
+    record_key,
     validate_links,
 )
 from easylink_spark.functions import comparators as C
@@ -157,11 +158,45 @@ def with_term_frequencies(
     against the much larger pairs table).  The tf table is a groupBy on the
     attribute value; Catalyst broadcasts it when small, shuffles otherwise.
     """
-    out = records
+    tf_comps = [c for c in comparisons if c.tf_adjustment]
+    if not tf_comps:
+        return records
     total = records.agg(F.count(F.lit(1)).alias("_tot"))  # 1 row, broadcast
-    for c in comparisons:
-        if not c.tf_adjustment:
-            continue
+
+    if len(tf_comps) >= 3:
+        # MANY tf columns: one consolidated join instead of k full-table
+        # shuffle joins.  Melt the tf-adjusted columns to long form
+        # (record_key, col, value), join a single (col, value) -> tf table,
+        # pivot the k tf values back into one map, and join records once —
+        # 2 data-sized shuffles total, independent of k.
+        rk = record_key(f"`{INPUT_RECORD_DATASET}`", f"`{INPUT_RECORD_ID}`")
+        melted = records.select(
+            rk.alias("_rk"),
+            F.explode(F.array(*[
+                F.struct(F.lit(c.name).alias("_c"),
+                         F.col(f"`{c.input_col}`").cast("string").alias("_v"))
+                for c in tf_comps
+            ])).alias("_cv"),
+        ).select("_rk", "_cv._c", "_cv._v")
+        tf_table = (
+            melted.groupBy("_c", "_v").agg(F.count(F.lit(1)).alias("_n"))
+            .join(F.broadcast(total))
+            .select("_c", "_v", (F.col("_n") / F.col("_tot")).alias("_tf"))
+        )
+        per_record = (
+            melted.join(tf_table, ["_c", "_v"], "left")
+            .groupBy("_rk")
+            .agg(*[
+                F.max(F.when(F.col("_c") == c.name, F.col("_tf"))).alias(c.tf_col())
+                for c in tf_comps
+            ])
+        )
+        return records.withColumn("_rk_tf", rk).join(
+            per_record, F.col("_rk_tf") == per_record["_rk"], "left"
+        ).drop("_rk", "_rk_tf")
+
+    out = records
+    for c in tf_comps:
         col = f"`{c.input_col}`"
         counts = records.groupBy(F.col(col).alias("_v")).agg(
             F.count(F.lit(1)).alias("_n")

@@ -6,7 +6,8 @@ input_data, environment}; pipeline_schema.py:74-156 validates the step
 configuration against the schema and rejects unknown/missing keys).  This
 module is the engine-native equivalent:
 
-    pipeline: dedup                    # dedup | splink_dummy | person_linkage
+    pipeline: dedup        # dedup | splink_dummy | person_linkage |
+                           # tutorial | tutorial_cascade
     input:
       transcripts: /path/to/parquet    # slot name -> table path
     checkpoint_dir: /tmp/ckpt          # dedup only
@@ -39,7 +40,8 @@ class SpecError(ValueError):
 
 
 _TOP_KEYS = {"pipeline", "input", "checkpoint_dir", "output", "config", "spark"}
-_PIPELINES = ("dedup", "splink_dummy", "person_linkage")
+_PIPELINES = ("dedup", "splink_dummy", "person_linkage", "tutorial",
+              "tutorial_cascade")
 
 
 def load_spec(path: str | Path) -> dict:
@@ -109,6 +111,26 @@ def run_spec(spec: dict, spark: SparkSession | None = None) -> DataFrame:
         from easylink_spark.plans.person_linkage import run_splink_dummy_pipeline
 
         clusters = run_splink_dummy_pipeline(spark, inputs, **cfg)
+    elif spec["pipeline"] in ("tutorial", "tutorial_cascade"):
+        # The reference's main-schema demo composition (LINK_ONLY blocking,
+        # per-rule EM training, one-to-many @ threshold into a
+        # no-duplicates dataset, optional cascade) — every knob of
+        # pipeline_demo_{naive,improved,improved_cascade}.yaml is a
+        # TutorialLinkageConfig field
+        from easylink_spark.plans.tutorial import (
+            TutorialLinkageConfig,
+            run_cascade_pipeline,
+            run_tutorial_pipeline,
+        )
+
+        cfg = {k: tuple(v) if isinstance(v, list) else v
+               for k, v in cfg.items()}
+        tcfg = _configure(TutorialLinkageConfig, cfg)
+        if spec["pipeline"] == "tutorial_cascade":
+            clusters = run_cascade_pipeline(spark, inputs or None, tcfg)
+        else:
+            clusters = run_tutorial_pipeline(spark, inputs or None,
+                                             config=tcfg)
     else:  # person_linkage
         from easylink_spark.plans.person_linkage import (
             PersonLinkageConfig,

@@ -40,18 +40,12 @@ Stage-by-stage parity map (reference step -> here):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from easylink_spark.contracts import (
-    CLUSTER_ID,
-    INPUT_RECORD_DATASET,
-    INPUT_RECORD_ID,
-    PAIR_COLS,
-    PROBABILITY,
-)
+from easylink_spark.contracts import PAIR_COLS, PROBABILITY
 from easylink_spark.functions import comparators as C
 from easylink_spark.operators import blocking as B
 from easylink_spark.operators import clustering as G

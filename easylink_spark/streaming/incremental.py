@@ -86,10 +86,23 @@ def incremental_foreachBatch(
     """
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import glob
         import os
         import shutil
 
         spark = batch_df.sparkSession
+        # Crash recovery: a crash between the two swap renames below leaves
+        # the state under __old_<id> with state_path absent — restore the
+        # newest such snapshot instead of silently restarting from empty.
+        if not os.path.exists(state_path):
+            leftovers = sorted(
+                glob.glob(f"{state_path}.__old_*"),
+                key=lambda p: int(p.rsplit("_", 1)[-1]),
+            )
+            if leftovers:
+                os.rename(leftovers[-1], state_path)
+                for p in leftovers[:-1]:
+                    shutil.rmtree(p, ignore_errors=True)
         new_clusters = G.links_to_clusters(batch_df, threshold, validate=False)
         try:
             known = spark.read.parquet(state_path)
@@ -109,6 +122,9 @@ def incremental_foreachBatch(
         tmp_path = f"{state_path}.__new_{batch_id}"
         merged.write.mode("overwrite").parquet(tmp_path)
         old_path = f"{state_path}.__old_{batch_id}"
+        # a retried batch may find its own old_path from a crash after the
+        # first rename — clear it or the rename below fails ENOTEMPTY
+        shutil.rmtree(old_path, ignore_errors=True)
         if os.path.exists(state_path):
             os.rename(state_path, old_path)
         os.rename(tmp_path, state_path)

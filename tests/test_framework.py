@@ -181,3 +181,49 @@ def test_subpipeline_nested_graphs(spark):
     ])
     env = outer.run({"x": src})
     assert sorted(r.v for r in env["out"].collect()) == [-15, -3]
+
+
+def test_spec_tutorial_pipeline(spark, tmp_ckpt):
+    """Spec-driven main-schema tutorial run (`python -m easylink_spark run`)
+    with the naive demo configuration: LINK_ONLY blocking, one-to-many into
+    the no-duplicates dataset @ 0.996 — reproduces the reference golden
+    partition end-to-end from a YAML file (VERDICT round-2 item #10)."""
+    import pandas as pd
+    import yaml
+
+    from easylink_spark.plans.spec import load_spec, run_spec
+
+    spec_path = tmp_ckpt + "/tutorial.yaml"
+    with open(spec_path, "w") as f:
+        yaml.safe_dump({
+            "pipeline": "tutorial",
+            "input": {
+                "input_file_ssa":
+                    "/root/reference/docs/source/tutorial/2020/input_file_ssa.parquet",
+                "input_file_w2":
+                    "/root/reference/docs/source/tutorial/2020/input_file_w2.parquet",
+            },
+            "config": {
+                "comparisons":
+                    "ssn:exact,first_name:exact,middle_initial:exact,last_name:exact",
+                "blocking_rules": ["first_name", "last_name"],
+                "training_rules": ["first_name", "last_name"],
+                "prior": 0.0001,
+                "threshold": 0.996,
+                "no_duplicates_dataset": "input_file_ssa",
+            },
+        }, f)
+    clusters = run_spec(load_spec(spec_path), spark)
+    got = clusters.toPandas()
+    gold = pd.read_csv("/root/reference/tests/e2e/pipeline_naive_results.csv")
+
+    def part(df, ds_col, id_col, cl_col):
+        return frozenset(
+            df.groupby(cl_col).apply(
+                lambda g: frozenset(zip(g[ds_col], g[id_col].astype(int))),
+                include_groups=False,
+            )
+        )
+
+    assert part(got, "Input Record Dataset", "Input Record ID", "Cluster ID") \
+        == part(gold, "Input Record Dataset", "Input Record ID", "Cluster ID")
