@@ -143,11 +143,13 @@ def middle_name_to_initial(df: DataFrame) -> DataFrame:
 
 
 def load_tutorial_inputs(
-    spark: SparkSession, base: str = TUTORIAL_DIR
+    spark: SparkSession, base: str = TUTORIAL_DIR, year: str = "2020"
 ) -> tuple[dict[str, DataFrame], DataFrame]:
-    """(datasets, known_clusters) per docs/source/tutorial/input_data_demo.yaml."""
+    """(datasets, known_clusters) per docs/source/tutorial/
+    input_data_demo.yaml (year="2020") / input_data_demo_2030.yaml
+    (year="2030")."""
     datasets = {
-        name: spark.read.parquet(f"{base}/2020/{name}.parquet")
+        name: spark.read.parquet(f"{base}/{year}/{name}.parquet")
         for name in ("input_file_ssa", "input_file_w2")
     }
     known = spark.read.parquet(f"{base}/known_clusters.parquet")

@@ -88,6 +88,27 @@ def test_improved_demo_golden_parity(spark):
 
 
 @pytest.mark.slow
+def test_improved_demo_2030_golden_parity(spark):
+    """Same improved pipeline on the 2030 fixtures (w2 11,039 + ssa 18,339
+    rows) vs pipeline_improved_results_2030.csv — the reference's
+    generalization check that the trained model is not tuned to one year
+    (test_pipelines_main_schema.py input_data_demo_2030 rows)."""
+    from easylink_spark.plans.tutorial import load_tutorial_inputs
+
+    datasets, known = load_tutorial_inputs(spark, year="2030")
+    clusters = run_tutorial_pipeline(spark, datasets, known,
+                                     config=improved_config())
+    ours = _partition_ours(clusters)
+    golden = _partition_golden(
+        "/root/reference/tests/e2e/pipeline_improved_results_2030.csv")
+    wiggle = math.floor(0.005 * sum(len(c) for c in golden))
+    d1, d2 = len(ours - golden), len(golden - ours)
+    print(f"improved-2030 drift: ours-only={d1} golden-only={d2} "
+          f"allowed={wiggle}")
+    assert d1 <= wiggle and d2 <= wiggle
+
+
+@pytest.mark.slow
 def test_cascade_demo_golden_parity(spark):
     """pipeline_demo_improved_cascade.yaml: exact-agreement pass, exclusion
     of clustered w2 records, improved pass on the remainder, transitive
