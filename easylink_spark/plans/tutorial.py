@@ -114,10 +114,18 @@ def comparisons_from_spec(spec: str) -> list[S.Comparison]:
                 column, column, _levenshtein_gamma,
                 m=[0.05, 0.05, 0.1, 0.8], u=[0.96, 0.01, 0.02, 0.01]))
         elif method == "name":
+            # splink cl.NameComparison applies TERM-FREQUENCY adjustment on
+            # its exact-match level (the reference pipeline's
+            # compute_df_concat_with_tf exists for this): agreeing on a
+            # RARE name outweighs agreeing on a common one.  Empirically
+            # decisive — with tf the improved-2030 golden partition
+            # reproduces EXACTLY; without it 104 rare-name links at the
+            # threshold-marginal pattern are lost.
             out.append(S.Comparison(
                 column, column, _name_gamma,
                 m=[0.02, 0.02, 0.03, 0.05, 0.88],
-                u=[0.95, 0.02, 0.01, 0.01, 0.01]))
+                u=[0.95, 0.02, 0.01, 0.01, 0.01],
+                tf_adjustment=True, tf_weight=1.0))
         elif method == "dob":
             out.append(S.Comparison(
                 column, column,
@@ -230,11 +238,16 @@ def run_tutorial_linkage(
             links, cfg.no_duplicates_dataset, cfg.threshold
         )
 
-    # comparison vectors, computed once and shared by training + predict
+    # comparison vectors, computed once and shared by training + predict;
+    # term frequencies (splink df_concat_with_tf) attach to the records
+    # BEFORE the pair join, so the fat pairs table never joins tf tables
+    if any(c.tf_adjustment for c in comps):
+        records = S.with_term_frequencies(records, comps)
+    attach_cols = sorted({c.input_col for c in comps}) + sorted(
+        c.tf_col() for c in comps if c.tf_adjustment
+    )
     gammas = S.compute_gammas(
-        S.attach_pair_attributes(
-            pairs, records, sorted({c.input_col for c in comps})
-        ),
+        S.attach_pair_attributes(pairs, records, attach_cols),
         comps,
     ).persist()
     try:
