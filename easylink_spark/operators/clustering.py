@@ -88,17 +88,91 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _union_find_assignments(edges: DataFrame) -> DataFrame:
+    """Small-frontier finish: single-partition union-find over the edge
+    list, executor-side (``mapInPandas`` — no driver collect).  Emits
+    (node, component=min node id in component) for every node appearing in
+    either column — identical semantics to the star-forest extraction, and
+    a pure function of the edge set (deterministic at any parallelism).
+
+    Only called on frontiers below ``small_graph_edges`` (default 500k
+    pairs ≈ tens of MB of string keys), where log-n distributed rounds are
+    pure fixed overhead: each large-star/small-star round costs 2+ shuffles
+    plus a driver job barrier, which no core count speeds up — this was THE
+    serial tail in the round-3 scaling decomposition (CC scaled 1.79x 2->8
+    vs 3.1-3.3x for every other stage).  At 100 TB the first distributed
+    rounds shrink the frontier geometrically, so the tail handed to this
+    kernel stays small.
+    """
+    import pandas as pd
+
+    def uf(batches):
+        srcs: list = []
+        dsts: list = []
+        for pdf in batches:
+            srcs.append(pdf[SRC])
+            dsts.append(pdf[DST])
+        if not srcs:
+            return
+        s = pd.concat(srcs, ignore_index=True)
+        d = pd.concat(dsts, ignore_index=True)
+        code_of, uniq = pd.factorize(pd.concat([s, d], ignore_index=True))
+        n = len(uniq)
+        m = len(s)
+        parent = list(range(n))
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(code_of[:m], code_of[m:]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        roots = [find(i) for i in range(n)]
+        # component id = MIN node id (string order) in the component
+        comp_min: dict[int, str] = {}
+        for i, r in enumerate(roots):
+            v = uniq[i]
+            if r not in comp_min or v < comp_min[r]:
+                comp_min[r] = v
+        yield pd.DataFrame({
+            "node": uniq,
+            "component": [comp_min[r] for r in roots],
+        })
+
+    return (
+        edges.repartition(1)
+        .mapInPandas(uf, schema="node string, component string")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = SRC,
     dst: str = DST,
     max_iter: int = 50,
     checkpoint_every: int = 1,
+    small_graph_edges: int | None = None,
 ) -> DataFrame:
     """Edge list (any orientation, string node ids) -> (node, component)
     where component = min node id in the component (total order = string
     order).  Nodes with no edges do not appear (callers decide singleton
     semantics, G4).
+
+    Hybrid kernel: iterate large-star/small-star (Kiveris et al.) only
+    while the frontier exceeds ``small_graph_edges`` (env
+    ``EASYLINK_CC_SMALL_EDGES``, default 500_000); below that, finish with
+    a one-job single-partition union-find (``_union_find_assignments``).
+    The star rounds preserve connectivity and never drop a non-root node,
+    so union-find over a partially-contracted frontier yields the same
+    (node -> component-min) map as running the rounds to fixpoint.  Set
+    ``small_graph_edges=0`` to force pure star rounds (property tests
+    compare the two paths).
 
     Fixpoint detection: (edge count, xor-style hash checksum) stable across
     a large-star+small-star round.  Every round the result is
@@ -106,12 +180,17 @@ def connected_components(
     cluster with a checkpoint dir configured, ``DataFrame.checkpoint`` is
     the durable alternative.
     """
+    import os
+
+    if small_graph_edges is None:
+        small_graph_edges = int(os.environ.get("EASYLINK_CC_SMALL_EDGES", "500000"))
     cur = (
         edges.select(F.col(src).alias(SRC), F.col(dst).alias(DST))
         .filter(F.col(SRC).isNotNull() & F.col(DST).isNotNull())
         .filter(F.col(SRC) != F.col(DST))
         .distinct()
-        .localCheckpoint()
+        # lazy: the signature() below materializes it — one job, not two
+        .localCheckpoint(eager=False)
     )
 
     def signature(df: DataFrame) -> tuple[int, int]:
@@ -122,20 +201,24 @@ def connected_components(
         ).collect()[0]
         return row["n"], row["h"]
 
-    prev_sig = None
+    prev_sig = signature(cur)
+    at_fixpoint = False
     for _ in range(max_iter):
+        if prev_sig[0] <= small_graph_edges:
+            break
         cur = _small_star(_large_star(cur))
         if checkpoint_every:
-            # lazy: the signature() action below materializes the checkpoint,
-            # so each round costs exactly one job
             cur = cur.localCheckpoint(eager=False)
         sig = signature(cur)
         if sig == prev_sig:
+            at_fixpoint = True
             break
         prev_sig = sig
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
 
+    if not at_fixpoint and prev_sig[0] > 0:
+        return _union_find_assignments(cur)
     # At the fixpoint the edge set is a star forest: (node -> component min).
     members = cur.select(F.col(SRC).alias("node"), F.col(DST).alias("component"))
     roots = cur.select(F.col(DST).alias("node"), F.col(DST).alias("component")).distinct()

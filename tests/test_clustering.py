@@ -82,6 +82,54 @@ def test_cc_long_chain_converges(spark):
     assert comps == {frozenset(f"v{i:04d}" for i in range(201))}
 
 
+def test_cc_hybrid_paths_identical(spark):
+    """All three kernels — pure star rounds (small_graph_edges=0), pure
+    union-find finish (threshold above |E|), and the hybrid (threshold mid
+    contraction, exercising star-rounds-then-union-find) — must produce the
+    IDENTICAL (node, component-min) map on adversarial shapes."""
+    rng = random.Random(13)
+    edges = []
+    for comp in range(60):
+        size = rng.randint(2, 15)
+        ns = [f"c{comp:03d}_{i:02d}" for i in range(size)]
+        shape = rng.random()
+        if shape < 0.33:
+            edges += [(ns[i], ns[i + 1]) for i in range(size - 1)]  # chain
+        elif shape < 0.66:
+            edges += [(ns[0], x) for x in ns[1:]]  # star
+        else:
+            edges += [(a, b) for a in ns for b in ns if a < b]  # clique
+    rng.shuffle(edges)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    results = []
+    for thr in (0, len(edges) // 3, 10**9):
+        assign = G.connected_components(df, small_graph_edges=thr)
+        results.append({(r["node"], r["component"]) for r in assign.collect()})
+    assert results[0] == results[1] == results[2]
+
+
+def test_cc_star_rounds_are_logarithmic(spark):
+    """Large-star/small-star is provably O(log n) rounds; lock in the round
+    count on a 256-node path graph (the adversarial depth case) so a kernel
+    regression to linear label-propagation behavior fails loudly."""
+    edges = [(f"p{i:04d}", f"p{i+1:04d}") for i in range(255)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    # force pure star rounds and count them via max_iter bisection: the
+    # kernel raises if it exceeds max_iter, so the smallest passing
+    # max_iter IS the round count (fixpoint included).
+    rounds = None
+    for k in range(1, 17):
+        try:
+            G.connected_components(df, max_iter=k, small_graph_edges=0).count()
+            rounds = k
+            break
+        except RuntimeError:
+            continue
+    assert rounds is not None and rounds <= 12, (
+        f"path-256 took {rounds} star rounds — expected O(log n) (<=12)"
+    )
+
+
 # -- links_to_clusters --------------------------------------------------------
 def _links(spark, rows):
     return spark.createDataFrame(
