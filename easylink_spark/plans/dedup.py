@@ -152,4 +152,8 @@ def run_dedup(
         inputs=["links"],
         validator=validate_clusters,
     )
+    # Durability barrier: every stage table + manifest on disk (async mode
+    # overlaps the writes with downstream compute; by the time the clusters
+    # stage finishes only the small tail writes are still in flight).
+    runner.flush()
     return clusters

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from collections.abc import Callable
 from hashlib import sha256
@@ -38,6 +39,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def _stable_hash(obj) -> str:
@@ -68,6 +70,7 @@ class StageRunner:
         iceberg_catalog: str | None = None,
         validate: bool = True,
         write_partitions: int | None = None,
+        async_write: bool | None = None,
     ):
         self.spark = spark
         self.base = Path(base_dir)
@@ -75,6 +78,19 @@ class StageRunner:
         self.config_hash = _stable_hash(config or {})
         self.iceberg_catalog = iceberg_catalog
         self.manifests: dict[str, dict] = {}
+        # Async mode (round-4 scaling work): a stage returns its PERSISTED
+        # DataFrame immediately and the durable write + manifest happen in a
+        # background thread, so the stage-boundary write->read barrier
+        # (~1-3 s of serial time per boundary that no core count speeds up)
+        # overlaps downstream compute.  Stages with an active validator run
+        # synchronously — validation must raise in the caller's frame.
+        self.async_write = (
+            async_write
+            if async_write is not None
+            else os.environ.get("EASYLINK_ASYNC_CHECKPOINT", "1") != "0"
+        )
+        self._pending: dict[str, threading.Thread] = {}
+        self._errors: list[BaseException] = []
         # Default: shuffle.partitions output files (multiple task waves per
         # core) so encode parallelizes and the re-read has enough splits.
         # On a real cluster with large stage outputs, pass None to let the
@@ -115,6 +131,32 @@ class StageRunner:
             out[dep] = m["content_hash"] if m else "external"
         return out
 
+    # -- async machinery ----------------------------------------------------
+    def _raise_pending_errors(self) -> None:
+        if self._errors:
+            err = self._errors[0]
+            raise RuntimeError(
+                f"background checkpoint write failed: {err!r}"
+            ) from err
+
+    def _join_pending(self, names: list[str] | None = None) -> None:
+        """Wait for in-flight background writes (all, or just ``names``)."""
+        targets = (
+            [self._pending[n] for n in names if n in self._pending]
+            if names is not None
+            else list(self._pending.values())
+        )
+        for t in targets:
+            t.join()
+        if names is None:
+            self._pending.clear()
+
+    def flush(self) -> None:
+        """Barrier: all pending stage writes durable (or raise).  Callers
+        MUST flush before treating the checkpoint dir as resumable."""
+        self._join_pending()
+        self._raise_pending_errors()
+
     def stage(
         self,
         name: str,
@@ -133,11 +175,24 @@ class StageRunner:
         ``validator`` (a contracts.validate_* function) runs against the
         *stored* table — one cheap parquet re-scan per check instead of
         recomputing the whole stage plan per validation action.
+
+        When ``async_write`` is on and the stage has no active validator,
+        the stage returns its PERSISTED DataFrame immediately and the
+        durable write + manifest happen in a background thread that first
+        joins its inputs' writers (so lineage hashes are final).  Downstream
+        stages chain on the in-memory copy instead of waiting for a
+        write->read round-trip; ``flush()`` is the durability barrier.
         """
+        from easylink_spark.contracts import _validation_enabled
+
         inputs = inputs or []
-        lineage = self._lineage_of(inputs)
+        self._raise_pending_errors()
         mpath = self._manifest_path(name)
         if not force and mpath.exists():
+            # input manifests must be FINAL before the lineage comparison
+            self._join_pending(inputs)
+            self._raise_pending_errors()
+            lineage = self._lineage_of(inputs)
             m = json.loads(mpath.read_text())
             if m.get("config_hash") == self.config_hash and m.get("lineage") == lineage:
                 self.manifests[name] = m
@@ -145,10 +200,36 @@ class StageRunner:
 
         t0 = time.time()
         df = fn()
+        validating = validator is not None and _validation_enabled()
+        if self.async_write and not validating:
+            cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+
+            def _bg() -> None:
+                try:
+                    self._join_pending(inputs)
+                    if self._errors:
+                        return  # an upstream write failed; don't pile on
+                    self._write(name, cached)
+                    self._emit_manifest(name, cached, inputs, t0)
+                except BaseException as e:  # surfaced via _raise_pending_errors
+                    self._errors.append(e)
+
+            t = threading.Thread(target=_bg, daemon=True, name=f"ckpt-{name}")
+            self._pending[name] = t
+            t.start()
+            return cached
+
         self._write(name, df)
         stored = self.read(name)
         if validator is not None:
             validator(stored)
+        self._emit_manifest(name, stored, inputs, t0)
+        return stored
+
+    def _emit_manifest(
+        self, name: str, stored: DataFrame, inputs: list[str], t0: float
+    ) -> None:
+        lineage = self._lineage_of(inputs)
         if self.iceberg_catalog:
             n_rows = stored.count()
             file_stats: list[tuple[str, int, int]] = []
@@ -197,6 +278,5 @@ class StageRunner:
                 }
             ),
         }
-        mpath.write_text(json.dumps(manifest, indent=1))
+        self._manifest_path(name).write_text(json.dumps(manifest, indent=1))
         self.manifests[name] = manifest
-        return stored

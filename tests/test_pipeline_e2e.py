@@ -144,3 +144,49 @@ def test_e2e_deterministic_same_seed(spark, tmp_ckpt):
     c2 = run_dedup(spark, t, tmp_ckpt + "/b", DedupConfig())
     assert c1.exceptAll(c2).count() == 0 and c2.exceptAll(c1).count() == 0
     t.unpersist()
+
+
+def test_e2e_async_checkpoint_matches_sync(spark, tmp_ckpt, monkeypatch):
+    """Async stage writes (bench mode: EASYLINK_VALIDATE=0) must produce the
+    same clusters AND a complete, resumable checkpoint dir as the sync
+    path — flush() is the durability barrier."""
+    monkeypatch.setenv("EASYLINK_VALIDATE", "0")
+    t = synth_transcripts(spark, n_entities=50, seed=11).drop("entity_id").cache()
+    c_async = run_dedup(spark, t, tmp_ckpt + "/async", DedupConfig())
+    rows_async = {tuple(r) for r in c_async.collect()}
+
+    monkeypatch.setenv("EASYLINK_ASYNC_CHECKPOINT", "0")
+    c_sync = run_dedup(spark, t, tmp_ckpt + "/sync", DedupConfig())
+    rows_sync = {tuple(r) for r in c_sync.collect()}
+    assert rows_async == rows_sync
+
+    # async run left a complete stage set: every manifest present, row
+    # counts consistent with the stored tables
+    for name in ("transcripts", "records", "pairs", "links", "clusters"):
+        mp = Path(tmp_ckpt) / "async" / f"{name}._manifest.json"
+        assert mp.exists(), f"missing manifest for {name}"
+        m = json.loads(mp.read_text())
+        stored = spark.read.parquet(str(Path(tmp_ckpt) / "async" / name))
+        assert stored.count() == m["rows"], name
+
+    # and the async checkpoint dir resumes without rewriting anything
+    monkeypatch.setenv("EASYLINK_ASYNC_CHECKPOINT", "1")
+    manifests = sorted((Path(tmp_ckpt) / "async").glob("*._manifest.json"))
+    before = {m.name: m.stat().st_mtime_ns for m in manifests}
+    run_dedup(spark, t, tmp_ckpt + "/async", DedupConfig())
+    after = {m.name: m.stat().st_mtime_ns for m in manifests}
+    assert before == after
+    t.unpersist()
+
+
+def test_async_write_failure_surfaces(spark, tmp_ckpt, monkeypatch):
+    """A background write failure must raise at flush(), not vanish."""
+    from easylink_spark.sources.checkpoint import StageRunner
+
+    monkeypatch.setenv("EASYLINK_VALIDATE", "0")
+    runner = StageRunner(spark, tmp_ckpt + "/boom", async_write=True)
+    # ANSI mode: division by zero inside the stage plan fails at write time
+    df = spark.range(10).selectExpr("id", "id / (id - id) as kaboom")
+    runner.stage("bad", lambda: df)
+    with pytest.raises(RuntimeError, match="background checkpoint write failed"):
+        runner.flush()
