@@ -198,7 +198,11 @@ def with_term_frequencies(
     out = records
     for c in tf_comps:
         col = f"`{c.input_col}`"
-        counts = records.groupBy(F.col(col).alias("_v")).agg(
+        # count on the SAME string cast as the consolidated (>=3 tf cols)
+        # path above — otherwise adding a third tf comparison would silently
+        # shift tf values for non-string columns when the engine switches
+        # paths (the cast is injective for the primitive types used here)
+        counts = records.groupBy(F.col(col).cast("string").alias("_v")).agg(
             F.count(F.lit(1)).alias("_n")
         )
         # total joined as a broadcast 1-row frame — NOT a window over the
@@ -207,7 +211,7 @@ def with_term_frequencies(
         tf = counts.join(F.broadcast(total)).select(
             "_v", (F.col("_n") / F.col("_tot")).alias(c.tf_col())
         )
-        out = out.join(tf, out[col] == tf["_v"], "left").drop("_v")
+        out = out.join(tf, out[col].cast("string") == tf["_v"], "left").drop("_v")
     return out
 
 
@@ -478,32 +482,54 @@ def estimate_u_by_value_pairs(
     cardinality approaches the record count (e.g. identifiers) this
     degrades to the full pair universe — use the sampled
     :func:`estimate_u` there, or an equality gamma with
-    :func:`estimate_u_exact`.  Currently implemented for the link_only
-    universe (cross-dataset pairs), the tutorial/main-schema configuration.
+    :func:`estimate_u_exact`.
+
+    Universes (comparators are symmetric, so unordered pairs are
+    enumerated once):
+
+    - ``link_only=True``  — cross-dataset record pairs: per-(value, dataset)
+      counts joined on dataset_l < dataset_r, w = n_A(v1) * n_B(v2);
+    - ``link_only=False`` — all unordered record pairs (dedupe): per-value
+      counts joined on v1 <= v2, w = n(v1) * n(v2) off the diagonal and
+      n(v) * (n(v)-1) / 2 on it (same-value record pairs without self-pairs).
     """
-    if not link_only:
-        raise NotImplementedError(
-            "estimate_u_by_value_pairs currently supports link_only=True; "
-            "use estimate_u / estimate_u_exact for the dedupe universe"
-        )
     out = []
     for c in comparisons:
         col = F.col(f"`{c.input_col}`")
-        counts = (
-            records.filter(col.isNotNull())
-            .groupBy(col.alias("_v"), F.col(f"`{INPUT_RECORD_DATASET}`").alias("_d"))
-            .agg(F.count(F.lit(1)).cast("double").alias("_n"))
-        )
         # value tables are tiny in bytes but the cross product is comparator
         # CPU-heavy — spread the streamed side across tasks explicitly
         par = int(records.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        l = counts.select(F.col("_v").alias("_vl"), F.col("_d").alias("_dl"),
-                          F.col("_n").alias("_nl")).repartition(par)
-        r = counts.select(F.col("_v").alias("_vr"), F.col("_d").alias("_dr"),
-                          F.col("_n").alias("_nr"))
-        vp = l.join(F.broadcast(r), F.col("_dl") < F.col("_dr")).withColumn(
-            "_w", F.col("_nl") * F.col("_nr")
-        ).withColumn("_g", c.gamma(F.col("_vl"), F.col("_vr")))
+        if link_only:
+            counts = (
+                records.filter(col.isNotNull())
+                .groupBy(col.alias("_v"),
+                         F.col(f"`{INPUT_RECORD_DATASET}`").alias("_d"))
+                .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+            )
+            l = counts.select(F.col("_v").alias("_vl"), F.col("_d").alias("_dl"),
+                              F.col("_n").alias("_nl")).repartition(par)
+            r = counts.select(F.col("_v").alias("_vr"), F.col("_d").alias("_dr"),
+                              F.col("_n").alias("_nr"))
+            vp = l.join(F.broadcast(r), F.col("_dl") < F.col("_dr")).withColumn(
+                "_w", F.col("_nl") * F.col("_nr")
+            )
+        else:
+            counts = (
+                records.filter(col.isNotNull())
+                .groupBy(col.alias("_v"))
+                .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+            )
+            l = counts.select(F.col("_v").alias("_vl"),
+                              F.col("_n").alias("_nl")).repartition(par)
+            r = counts.select(F.col("_v").alias("_vr"),
+                              F.col("_n").alias("_nr"))
+            vp = l.join(F.broadcast(r), F.col("_vl") <= F.col("_vr")).withColumn(
+                "_w",
+                F.when(F.col("_vl") == F.col("_vr"),
+                       F.col("_nl") * (F.col("_nl") - 1) / 2)
+                .otherwise(F.col("_nl") * F.col("_nr")),
+            )
+        vp = vp.withColumn("_g", c.gamma(F.col("_vl"), F.col("_vr")))
         row = vp.agg(
             F.sum("_w").alias("_tot"),
             *[

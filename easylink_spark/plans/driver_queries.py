@@ -1093,6 +1093,83 @@ def person_golden_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# EM-pipeline golden parities as oracle rows (round-4): the improved and
+# cascade demo pipelines drift from the reference goldens within the
+# reference's own tolerance (<= 0.5% of records per direction,
+# test_pipelines_main_schema.py:173-180).  The engine is fully deterministic
+# (exact closed-form u, fixpoint EM), so the drift counts are constants; the
+# oracle row pins them plus the tolerance verdict.
+# ---------------------------------------------------------------------------
+def _partition_drift(clusters: DataFrame, golden_csv: str) -> DataFrame:
+    import math
+
+    import pandas as pd
+
+    pdf = clusters.toPandas()
+    ours = frozenset(
+        pdf.groupby(K.CLUSTER_ID).apply(
+            lambda g: frozenset(
+                zip(g[K.INPUT_RECORD_DATASET], g[K.INPUT_RECORD_ID].astype(int))
+            ),
+            include_groups=False,
+        )
+    )
+    gold_pdf = pd.read_csv(golden_csv)
+    golden = frozenset(
+        gold_pdf.groupby("Cluster ID").apply(
+            lambda g: frozenset(
+                zip(g["Input Record Dataset"], g["Input Record ID"])
+            ),
+            include_groups=False,
+        )
+    )
+    wiggle = math.floor(0.005 * sum(len(c) for c in golden))
+    d1, d2 = len(ours - golden), len(golden - ours)
+    spark = clusters.sparkSession
+    return spark.createDataFrame(
+        [(d1, d2, wiggle, bool(d1 <= wiggle and d2 <= wiggle))],
+        "drift_ours_only long, drift_golden_only long, wiggle long, "
+        "within_tolerance boolean",
+    )
+
+
+@q(
+    "person_golden_improved",
+    """
+    SELECT CAST(5 AS BIGINT) AS drift_ours_only,
+           CAST(1 AS BIGINT) AS drift_golden_only,
+           CAST(79 AS BIGINT) AS wiggle,
+           true AS within_tolerance
+    """,
+)
+def person_golden_improved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from easylink_spark.plans.tutorial import improved_config, run_tutorial_pipeline
+
+    clusters = run_tutorial_pipeline(spark, config=improved_config())
+    return _partition_drift(
+        clusters, "/root/reference/tests/e2e/pipeline_improved_results.csv"
+    )
+
+
+@q(
+    "person_golden_cascade",
+    """
+    SELECT CAST(26 AS BIGINT) AS drift_ours_only,
+           CAST(60 AS BIGINT) AS drift_golden_only,
+           CAST(79 AS BIGINT) AS wiggle,
+           true AS within_tolerance
+    """,
+)
+def person_golden_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from easylink_spark.plans.tutorial import run_cascade_pipeline
+
+    clusters = run_cascade_pipeline(spark)
+    return _partition_drift(
+        clusters, "/root/reference/tests/e2e/pipeline_improved_cascade_results.csv"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -175,8 +175,10 @@ class TutorialLinkageConfig:
     prior: float = 1e-4          # PROBABILITY_TWO_RANDOM_RECORDS_MATCH
     threshold: float = 0.996     # THRESHOLD_MATCH_PROBABILITY
     no_duplicates_dataset: str = "input_file_ssa"
-    u_max_pairs: float = 5e6     # splink_evaluating_pairs.py:67
-    u_seed: int = 1234
+    u_method: str = "exact"      # "exact" (deterministic closed form) or
+    #                              "sampled" (splink's seeded random pairs)
+    u_max_pairs: float = 5e6     # splink_evaluating_pairs.py:67 (sampled only)
+    u_seed: int = 1234           # (sampled only)
     preprocess_middle_initial: tuple[str, ...] = ("input_file_ssa",)
     accept_all: bool = False     # cascading/accept_all_pairs.py: prob 1.0
 
@@ -257,15 +259,27 @@ def run_tutorial_linkage(
         # (splink_evaluating_pairs.py:67), whose noise can flip
         # threshold-marginal patterns; on these fixtures the exact values
         # reproduce the reference's golden decisions.
-        comps = S.estimate_u_exact(records, comps, link_only=True)
-        if any(not c.is_exact_equality for c in comps):
-            leveled = S.estimate_u_by_value_pairs(
-                records,
-                [c for c in comps if not c.is_exact_equality],
-                link_only=True,
+        if cfg.u_method == "sampled":
+            # splink's own method, for parity experiments: seeded random
+            # pair sampling (noise can flip threshold-marginal patterns)
+            comps = S.estimate_u(
+                records, comps, max_pairs=int(cfg.u_max_pairs),
+                seed=cfg.u_seed, link_only=True,
             )
-            by_name = {c.name: c for c in leveled}
-            comps = [by_name.get(c.name, c) for c in comps]
+        elif cfg.u_method == "exact":
+            comps = S.estimate_u_exact(records, comps, link_only=True)
+            if any(not c.is_exact_equality for c in comps):
+                leveled = S.estimate_u_by_value_pairs(
+                    records,
+                    [c for c in comps if not c.is_exact_equality],
+                    link_only=True,
+                )
+                by_name = {c.name: c for c in leveled}
+                comps = [by_name.get(c.name, c) for c in comps]
+        else:
+            raise ValueError(
+                f"u_method must be 'exact' or 'sampled', got {cfg.u_method!r}"
+            )
 
         # one EM session per training rule: pairs = candidates whose rule
         # column agrees exactly (equivalent to re-blocking on the rule, since
@@ -311,6 +325,9 @@ def run_tutorial_linkage(
         # force materialization before unpersisting upstream
         clusters = clusters.persist()
         clusters.count()
+        # clusters is materialized — release the intermediate now, not at
+        # session end (repeated runs otherwise accumulate storage blocks)
+        links.unpersist()
     finally:
         gammas.unpersist()
     return clusters
@@ -374,4 +391,8 @@ def run_cascade_pipeline(
     )
 
     pass2 = run_tutorial_linkage(spark, datasets2, config=cfg2)
-    return G.update_clusters(pass1, pass2)
+    merged = G.update_clusters(pass1, pass2).persist()
+    merged.count()  # materialize before releasing the per-pass caches
+    pass1.unpersist()
+    pass2.unpersist()
+    return merged

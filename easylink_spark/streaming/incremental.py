@@ -103,6 +103,14 @@ def incremental_foreachBatch(
                 os.rename(leftovers[-1], state_path)
                 for p in leftovers[:-1]:
                     shutil.rmtree(p, ignore_errors=True)
+        # A crash after merged.write to __new_<id> that is never retried
+        # with the same batch id would orphan that temp dir forever; once a
+        # valid state exists, any __new_* leftover is garbage by definition
+        # (the swap either completed — state_path IS the new data — or the
+        # batch will be retried and rewrites its own temp dir).
+        if os.path.exists(state_path):
+            for p in glob.glob(f"{state_path}.__new_*"):
+                shutil.rmtree(p, ignore_errors=True)
         new_clusters = G.links_to_clusters(batch_df, threshold, validate=False)
         try:
             known = spark.read.parquet(state_path)

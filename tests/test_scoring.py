@@ -148,3 +148,44 @@ def test_two_phase_scoring_identical_links(spark):
     two = S.score_pairs(pairs, recs, prior=0.01, threshold=0.85,
                         validate=False, expensive_cols={"turn_texts"})
     assert {tuple(r) for r in one.collect()} == {tuple(r) for r in two.collect()}
+
+
+def test_value_pairs_u_matches_bruteforce_both_universes(spark):
+    """estimate_u_by_value_pairs vs brute-force u over ALL record pairs of
+    the universe — link_only (cross-dataset) and dedupe (all unordered
+    pairs, no self-pairs) must both agree to float precision."""
+    import itertools
+
+    rows = [
+        ("a", "1", "smith"), ("a", "2", "smith"), ("a", "3", "smyth"),
+        ("a", "4", "jones"), ("b", "5", "smith"), ("b", "6", "jones"),
+        ("b", "7", "jonez"), ("b", "8", "smyth"), ("b", "9", "smith"),
+    ]
+    recs = _records(spark, rows)
+    comp = S.Comparison(
+        "name", "name", S._leveled(C.jaro_winkler, [0.94, 0.85]),
+        m=[0.1, 0.2, 0.7], u=[0.7, 0.2, 0.1],
+    )
+
+    def gamma_py(v1, v2):
+        from easylink_spark.functions.comparators import _jaro_winkler
+
+        sim = _jaro_winkler(v1, v2)
+        return 2 if sim >= 0.94 else (1 if sim >= 0.85 else 0)
+
+    for link_only in (True, False):
+        if link_only:
+            universe = [
+                (x, y) for x, y in itertools.combinations(rows, 2)
+                if x[0] != y[0]
+            ]
+        else:
+            universe = list(itertools.combinations(rows, 2))
+        counts = [0, 0, 0]
+        for x, y in universe:
+            counts[gamma_py(x[2], y[2])] += 1
+        expect = [c / len(universe) for c in counts]
+        [got] = S.estimate_u_by_value_pairs(recs, [comp], link_only=link_only)
+        assert all(
+            abs(g - e) < 1e-9 for g, e in zip(got.u, expect)
+        ), f"link_only={link_only}: {got.u} vs {expect}"
