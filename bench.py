@@ -110,6 +110,52 @@ def run_query_bench(spark) -> dict:
         n = fn(spark, SF_DIR).count()
         out[name] = {"sec": round(time.time() - t0, 2), "rows": n}
     out["one_to_one_10k"] = run_assignment_microbench(spark)
+    out["cc_shapes"] = run_cc_shape_bench(spark)
+    return out
+
+
+def run_cc_shape_bench(spark, n: int = 100_000) -> dict:
+    """Connected-components at adversarial graph shapes (long chain = worst
+    depth, star = worst hot-key skew), each through BOTH kernels: the
+    default hybrid (union-find finish below the frontier threshold) and
+    pure distributed star rounds (small_graph_edges=0).  Shows (a) the
+    hybrid deleting the round tail on bench-scale graphs and (b) the star
+    kernel's O(log n) round count at 100 TB shapes."""
+    from pyspark.sql import functions as F
+
+    from easylink_spark.operators.clustering import connected_components
+
+    shapes = {
+        "chain": spark.range(n - 1).select(
+            F.format_string("c%09d", F.col("id")).alias("src"),
+            F.format_string("c%09d", F.col("id") + 1).alias("dst"),
+        ),
+        "star": spark.range(n - 1).select(
+            F.lit("hub").alias("src"),
+            F.format_string("s%09d", F.col("id")).alias("dst"),
+        ),
+    }
+    out = {}
+    for shape, edges in shapes.items():
+        for kernel, thr in (("hybrid", None), ("star_rounds", 0)):
+            stats: dict = {}
+            t0 = time.time()
+            n_assigned = connected_components(
+                edges, small_graph_edges=thr, stats=stats
+            ).count()
+            out[f"{shape}_{kernel}"] = {
+                "sec": round(time.time() - t0, 2),
+                "rows": n_assigned,
+                "rounds": stats.get("rounds"),
+                "finish": stats.get("finish"),
+            }
+            assert n_assigned == n, (shape, kernel, n_assigned)
+    # the provable O(log n) bound, asserted on the measured round counts
+    import math
+
+    bound = 2 * math.ceil(math.log2(n)) + 2
+    for key in ("chain_star_rounds", "star_star_rounds"):
+        assert out[key]["rounds"] <= bound, (key, out[key], bound)
     return out
 
 
@@ -190,10 +236,17 @@ def main_single(cores: int) -> dict:
     finally:
         sampler.__exit__()
         shutil.rmtree(ckpt, ignore_errors=True)
-    qsecs = {k: v["sec"] for k, v in queries.items()}
+    qsecs = {}
+    for k, v in queries.items():
+        if "sec" in v:
+            qsecs[k] = v["sec"]
+        else:  # nested shape bench: flatten to <name>.<shape_kernel>
+            for kk, vv in v.items():
+                qsecs[f"{k}.{kk}"] = vv["sec"]
     qsecs["dedup_pipeline"] = dedup["wall_sec"]
     return {
         **sampler.summary(),
+        "cc_shapes": queries.get("cc_shapes"),
         "metric": "e2e_dedup_sec",
         "value": dedup["wall_sec"],
         "unit": "sec",

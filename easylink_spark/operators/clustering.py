@@ -158,6 +158,7 @@ def connected_components(
     max_iter: int = 50,
     checkpoint_every: int = 1,
     small_graph_edges: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Edge list (any orientation, string node ids) -> (node, component)
     where component = min node id in the component (total order = string
@@ -202,6 +203,8 @@ def connected_components(
         return row["n"], row["h"]
 
     prev_sig = signature(cur)
+    initial_edges = prev_sig[0]
+    rounds = 0
     at_fixpoint = False
     for _ in range(max_iter):
         if prev_sig[0] <= small_graph_edges:
@@ -210,6 +213,7 @@ def connected_components(
         if checkpoint_every:
             cur = cur.localCheckpoint(eager=False)
         sig = signature(cur)
+        rounds += 1
         if sig == prev_sig:
             at_fixpoint = True
             break
@@ -217,6 +221,14 @@ def connected_components(
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
 
+    if stats is not None:
+        stats.update({
+            "rounds": rounds,
+            "initial_edges": initial_edges,
+            "final_edges": prev_sig[0],
+            "finish": "star_fixpoint" if at_fixpoint or prev_sig[0] == 0
+            else "union_find",
+        })
     if not at_fixpoint and prev_sig[0] > 0:
         return _union_find_assignments(cur)
     # At the fixpoint the edge set is a star forest: (node -> component min).

@@ -116,6 +116,62 @@ class Pipeline:
             remaining = [st for st in remaining if st not in ready]
         return ordered
 
+    def to_dot(self, sources: set[str] | None = None, name: str = "pipeline") -> str:
+        """Render the stage/slot dataflow as graphviz dot TEXT (the
+        reference's ``easylink generate-dag``, runner.py:338-357, which
+        shells out to ``snakemake --dag | dot``; here the graph is already
+        in-process, so no graphviz binary is needed — pipe the string to
+        ``dot -Tsvg`` if an image is wanted).
+
+        Source slots render as dashed ellipses, stages as boxes, dataflow
+        edges carry the slot name, and a slot validator is shown on its
+        edge in brackets (validators-as-edges, rule.py:215-253).  Output is
+        deterministic: stages in topological order, slots sorted."""
+        sources = set(sources or ())
+        # _topo_order also validates the graph (cycles, missing producers)
+        ordered = self._topo_order(sources)
+        producer: dict[str, str] = {}
+        for st in ordered:
+            for s in st.outputs:
+                producer[s.name] = st.name
+        consumed: set[str] = set()
+        lines = [
+            f"digraph {name} {{",
+            "  rankdir=TB;",
+            '  node [shape=box, fontname="Helvetica"];',
+        ]
+        for slot in sorted(sources):
+            lines.append(
+                f'  "src:{slot}" [label="{slot}", shape=ellipse, style=dashed];'
+            )
+        for st in ordered:
+            lines.append(f'  "{st.name}";')
+        for st in ordered:
+            for s in sorted(st.inputs, key=lambda s: s.name):
+                consumed.add(s.name)
+                label = s.name
+                if s.validator is not None:
+                    vname = getattr(s.validator, "__name__", "validator")
+                    label += f"\\n[{vname}]"
+                origin = (
+                    f'"{producer[s.name]}"'
+                    if s.name in producer
+                    else f'"src:{s.name}"'
+                )
+                lines.append(f'  {origin} -> "{st.name}" [label="{label}"];')
+        # terminal outputs: produced but never consumed
+        for st in ordered:
+            for s in sorted(st.outputs, key=lambda s: s.name):
+                if s.name not in consumed:
+                    lines.append(
+                        f'  "out:{s.name}" [label="{s.name}", shape=ellipse];'
+                    )
+                    lines.append(
+                        f'  "{st.name}" -> "out:{s.name}" [label="{s.name}"];'
+                    )
+        lines.append("}")
+        return "\n".join(lines)
+
     def run(
         self,
         sources: dict[str, DataFrame],

@@ -227,3 +227,70 @@ def test_spec_tutorial_pipeline(spark, tmp_ckpt):
 
     assert part(got, "Input Record Dataset", "Input Record ID", "Cluster ID") \
         == part(gold, "Input Record Dataset", "Input Record ID", "Cluster ID")
+
+
+def test_to_dot_golden():
+    """generate-dag analog (reference runner.py:338-357): the dedup stage
+    graph renders to deterministic graphviz text — golden-string compare,
+    mirroring the reference's rule-string golden tests
+    (tests/unit/rule_strings/)."""
+    noop = lambda ins: {}  # noqa: E731 — to_dot never calls fn
+    features = Stage("features", noop,
+                     [Slot("transcripts", K.validate_transcripts)],
+                     [Slot("records")])
+    blocking = Stage("blocking", noop,
+                     [Slot("records")], [Slot("pairs")])
+    scoring = Stage("scoring", noop,
+                    [Slot("pairs"), Slot("records")], [Slot("links")])
+    clustering = Stage("clustering", noop,
+                       [Slot("links", K.validate_links)], [Slot("clusters")])
+    dot = Pipeline([features, blocking, scoring, clustering]).to_dot(
+        sources={"transcripts"}, name="dedup"
+    )
+    assert dot == """\
+digraph dedup {
+  rankdir=TB;
+  node [shape=box, fontname="Helvetica"];
+  "src:transcripts" [label="transcripts", shape=ellipse, style=dashed];
+  "features";
+  "blocking";
+  "scoring";
+  "clustering";
+  "src:transcripts" -> "features" [label="transcripts\\n[validate_transcripts]"];
+  "features" -> "blocking" [label="records"];
+  "blocking" -> "scoring" [label="pairs"];
+  "features" -> "scoring" [label="records"];
+  "scoring" -> "clustering" [label="links\\n[validate_links]"];
+  "out:clusters" [label="clusters", shape=ellipse];
+  "clustering" -> "out:clusters" [label="clusters"];
+}"""
+
+
+def test_to_dot_rejects_bad_graph():
+    a = Stage("a", lambda ins: {}, [Slot("x")], [Slot("y")])
+    b = Stage("b", lambda ins: {}, [Slot("y")], [Slot("x")])
+    from easylink_spark.plans.framework import PipelineGraphError
+
+    with pytest.raises(PipelineGraphError):
+        Pipeline([a, b]).to_dot(sources=set())
+
+
+def test_readme_authoring_example_runs(spark):
+    """The README 'Authoring a custom stage' snippet must execute verbatim
+    (doctest-style: extracted from README.md, not duplicated here)."""
+    import re
+    from pathlib import Path
+
+    readme = Path(__file__).parent.parent.joinpath("README.md").read_text()
+    section = readme.split("## Authoring a custom stage", 1)[1]
+    code = re.search(r"```python\n(.*?)```", section, re.S).group(1)
+    transcripts = spark.createDataFrame(
+        [("c1", 0, "user", "hi", None, None), ("c1", 1, "assistant", "yo", None, None),
+         ("c2", 0, "user", "solo", None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    ns = {"transcripts": transcripts, "spark": spark}
+    exec(compile(code, "README.md", "exec"), ns)  # noqa: S102 — our own docs
+    assert ns["env"]["filtered"].count() == 2  # c2 (1 turn) dropped
+    assert '"drop_short_convs"' in ns["pipe"].to_dot(sources={"transcripts"})
