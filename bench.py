@@ -41,8 +41,6 @@ SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
 N_ENTITIES = int(os.environ.get("BENCH_ENTITIES", str(max(150, int(30000 * SF)))))
 SEED = 42
 
-os.environ.setdefault("EASYLINK_VALIDATE", "0")
-
 
 def _spark(cores: int):
     from easylink_spark.session import get_spark
@@ -734,6 +732,10 @@ sandbox-host property, not an engine property.
 
 
 if __name__ == "__main__":
+    # bench timings skip contract validation scans; set here (NOT at import
+    # time — importing bench from a test must not disable validation for
+    # the whole pytest process)
+    os.environ.setdefault("EASYLINK_VALIDATE", "0")
     if "--scaling-report" in sys.argv:
         main_scaling_report()
     elif "--scaling" in sys.argv:

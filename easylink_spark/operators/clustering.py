@@ -104,6 +104,7 @@ def _union_find_assignments(edges: DataFrame) -> DataFrame:
     rounds shrink the frontier geometrically, so the tail handed to this
     kernel stays small.
     """
+    import numpy as np
     import pandas as pd
 
     def uf(batches):
@@ -116,34 +117,31 @@ def _union_find_assignments(edges: DataFrame) -> DataFrame:
             return
         s = pd.concat(srcs, ignore_index=True)
         d = pd.concat(dsts, ignore_index=True)
-        code_of, uniq = pd.factorize(pd.concat([s, d], ignore_index=True))
+        # sort=True: codes are STRING RANKS, so the min-code fixpoint below
+        # is directly the min-string component representative
+        code_of, uniq = pd.factorize(pd.concat([s, d], ignore_index=True),
+                                     sort=True)
         n = len(uniq)
         m = len(s)
-        parent = list(range(n))
-
-        def find(x: int) -> int:
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:  # path compression
-                parent[x], x = root, parent[x]
-            return root
-
-        for a, b in zip(code_of[:m], code_of[m:]):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[rb] = ra
-        roots = [find(i) for i in range(n)]
-        # component id = MIN node id (string order) in the component
-        comp_min: dict[int, str] = {}
-        for i, r in enumerate(roots):
-            v = uniq[i]
-            if r not in comp_min or v < comp_min[r]:
-                comp_min[r] = v
-        yield pd.DataFrame({
-            "node": uniq,
-            "component": [comp_min[r] for r in roots],
-        })
+        src_c, dst_c = code_of[:m], code_of[m:]
+        # vectorized min-label propagation with pointer jumping
+        # (Shiloach-Vishkin flavor): labels only decrease; at the fixpoint
+        # parent[i] == min code in i's component.  O(log n) outer rounds,
+        # each O(m) in numpy — no per-edge Python loop.
+        parent = np.arange(n, dtype=np.int64)
+        while True:
+            before = parent.copy()
+            np.minimum.at(parent, src_c, parent[dst_c])
+            np.minimum.at(parent, dst_c, parent[src_c])
+            while True:
+                jumped = parent[parent]
+                if np.array_equal(jumped, parent):
+                    break
+                parent = jumped
+            if np.array_equal(parent, before):
+                break
+        uniq = np.asarray(uniq)
+        yield pd.DataFrame({"node": uniq, "component": uniq[parent]})
 
     return (
         edges.repartition(1)
