@@ -123,37 +123,48 @@ def run_cc_shape_bench(spark, n: int = 100_000) -> dict:
 
     from easylink_spark.operators.clustering import connected_components
 
-    shapes = {
-        "chain": spark.range(n - 1).select(
+    def chain(k):
+        return spark.range(k - 1).select(
             F.format_string("c%09d", F.col("id")).alias("src"),
             F.format_string("c%09d", F.col("id") + 1).alias("dst"),
-        ),
-        "star": spark.range(n - 1).select(
+        )
+
+    def star(k):
+        return spark.range(k - 1).select(
             F.lit("hub").alias("src"),
             F.format_string("s%09d", F.col("id")).alias("dst"),
-        ),
+        )
+
+    # star_rounds on the chain runs ~2 log2(n) full distributed rounds —
+    # the round-count DEMONSTRATION doesn't need 100k nodes (it cost 250 s
+    # under host load); n/5 keeps the log-n shape visible at ~1/3 the rounds' data
+    cases = {
+        ("chain", "hybrid"): (chain(n), n, None),
+        ("chain", "star_rounds"): (chain(n // 5), n // 5, 0),
+        ("star", "hybrid"): (star(n), n, None),
+        ("star", "star_rounds"): (star(n), n, 0),
     }
     out = {}
-    for shape, edges in shapes.items():
-        for kernel, thr in (("hybrid", None), ("star_rounds", 0)):
-            stats: dict = {}
-            t0 = time.time()
-            n_assigned = connected_components(
-                edges, small_graph_edges=thr, stats=stats
-            ).count()
-            out[f"{shape}_{kernel}"] = {
-                "sec": round(time.time() - t0, 2),
-                "rows": n_assigned,
-                "rounds": stats.get("rounds"),
-                "finish": stats.get("finish"),
-            }
-            assert n_assigned == n, (shape, kernel, n_assigned)
-    # the provable O(log n) bound, asserted on the measured round counts
     import math
 
-    bound = 2 * math.ceil(math.log2(n)) + 2
-    for key in ("chain_star_rounds", "star_star_rounds"):
-        assert out[key]["rounds"] <= bound, (key, out[key], bound)
+    for (shape, kernel), (edges, k, thr) in cases.items():
+        stats: dict = {}
+        t0 = time.time()
+        n_assigned = connected_components(
+            edges, small_graph_edges=thr, stats=stats
+        ).count()
+        out[f"{shape}_{kernel}"] = {
+            "sec": round(time.time() - t0, 2),
+            "rows": n_assigned,
+            "nodes": k,
+            "rounds": stats.get("rounds"),
+            "finish": stats.get("finish"),
+        }
+        assert n_assigned == k, (shape, kernel, n_assigned)
+        if kernel == "star_rounds":
+            # the provable O(log n) bound, asserted on the measured count
+            bound = 2 * math.ceil(math.log2(k)) + 2
+            assert stats["rounds"] <= bound, (shape, stats, bound)
     return out
 
 
@@ -695,6 +706,38 @@ vs 4N=local[{4 * headline_n}]** (gate >= 0.8; estimator:
 {head['wall_N']} s -> {head['wall_4N']} s; eff_cpu {head['eff_cpu']:.3f}).
 
 {chr(10).join(sections)}
+
+## What changed in round 4 (engine, not estimator)
+
+The round-3 decomposition isolated ~12 s of engine-side serial time on the
+4N side (CC driver rounds scaling 1.79x vs 3.1-3.3x for every other
+stage, plus stage-boundary write->read barriers).  Round 4 removed both:
+
+- **Hybrid CC**: large-star/small-star rounds run only while the edge
+  frontier exceeds 500k; below that a single-job numpy union-find
+  (`mapInPandas`, min-label propagation) finishes — at this corpus the
+  bench-scale CC is ONE job instead of ~6 rounds x (2 shuffles + driver
+  barrier).  `cc_shapes` in the default bench shows both regimes.
+- **Async stage checkpointing**: a stage returns its persisted DataFrame
+  and the durable write + manifest land in a background thread; downstream
+  compute overlaps the write instead of waiting on a write->read barrier.
+
+Round-3 -> round-4 estimator movement on the same protocol: cpu-floor
+0.758 -> {head['cpu_floor']:.3f}, eff_cpu 0.829 -> {head['eff_cpu']:.3f}.
+
+Caveat, measured and logged: this campaign's ambient bandwidth contention
+was higher than round 3's (no small-side window reached steal <= 4% in 6
+attempts; same-day SYNC-mode probes also ran ~10-15% above the round-3
+cpu floor), so ABSOLUTE walls are not comparable across rounds — the
+ratio, gated identically on both sides, is.  A same-window A/B also
+showed the async overlap trades CPU for barrier removal at this corpus
+size on THIS host (two concurrent jobs interleaving on the same
+bandwidth-starved cores; async cpu ~1.3x sync in back-to-back probes,
+while e2e wall at the driver's sf0.1/32-core workload is equal-or-better
+and byte-identical).  On a real multi-executor cluster writes are
+IO-bound (object store / HDFS), where overlap is strictly a win; the
+default stays async, `EASYLINK_ASYNC_CHECKPOINT=0` restores synchronous
+stage boundaries.
 
 ## Why these estimators
 
