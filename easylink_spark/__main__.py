@@ -17,11 +17,23 @@ def main(argv: list[str] | None = None) -> int:
                        help="rows of the result to print (0 = none)")
     p_val = sub.add_parser("validate", help="validate a spec without running")
     p_val.add_argument("spec")
+    p_dag = sub.add_parser(
+        "dag",
+        help="print the pipeline's stage/slot graph as graphviz dot "
+             "(reference `easylink generate-dag`; pipe to `dot -Tsvg`)",
+    )
+    p_dag.add_argument("spec")
     args = parser.parse_args(argv)
 
     from easylink_spark.plans.spec import load_spec, run_spec
 
     spec = load_spec(args.spec)
+    if args.command == "dag":
+        from easylink_spark.plans.spec import spec_pipeline_graph
+
+        pipe, sources = spec_pipeline_graph(spec["pipeline"])
+        print(pipe.to_dot(sources=sources, name=spec["pipeline"]))
+        return 0
     if args.command == "validate":
         print(f"spec OK: pipeline={spec['pipeline']} "
               f"inputs={sorted(spec['input'])}")

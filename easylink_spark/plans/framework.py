@@ -163,11 +163,15 @@ class Pipeline:
         for st in ordered:
             for s in sorted(st.outputs, key=lambda s: s.name):
                 if s.name not in consumed:
+                    label = s.name
+                    if s.validator is not None:
+                        vname = getattr(s.validator, "__name__", "validator")
+                        label += f"\\n[{vname}]"
                     lines.append(
                         f'  "out:{s.name}" [label="{s.name}", shape=ellipse];'
                     )
                     lines.append(
-                        f'  "{st.name}" -> "out:{s.name}" [label="{s.name}"];'
+                        f'  "{st.name}" -> "out:{s.name}" [label="{label}"];'
                     )
         lines.append("}")
         return "\n".join(lines)

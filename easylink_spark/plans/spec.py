@@ -146,3 +146,70 @@ def run_spec(spec: dict, spark: SparkSession | None = None) -> DataFrame:
         clusters.write.mode("overwrite").parquet(str(out))
         clusters = spark.read.parquet(str(out))
     return clusters
+
+
+def spec_pipeline_graph(pipeline: str):
+    """Stage/slot dataflow skeleton of a named spec pipeline, for
+    ``python -m easylink_spark dag`` rendering (reference
+    ``easylink generate-dag``, runner.py:338-357 — which renders the rule
+    graph, not executable code; likewise these are declarative skeletons
+    mirroring the run_* compositions, with contracts shown on edges).
+    Returns (Pipeline, source_slots)."""
+    from easylink_spark import contracts as K
+    from easylink_spark.plans.framework import Pipeline, Slot, Stage
+
+    def st(name, ins, outs):
+        return Stage(name, lambda _ins: {}, ins, outs)
+
+    if pipeline == "dedup":
+        stages = [
+            st("features", [Slot("transcripts", K.validate_transcripts)],
+               [Slot("records")]),
+            st("blocking", [Slot("records", K.validate_records)],
+               [Slot("pairs")]),
+            st("scoring", [Slot("pairs", K.validate_pairs), Slot("records")],
+               [Slot("links")]),
+            st("clustering", [Slot("links", K.validate_links)],
+               [Slot("clusters", K.validate_clusters)]),
+        ]
+        return Pipeline(stages), {"transcripts"}
+    if pipeline in ("splink_dummy", "person_linkage", "tutorial"):
+        stages = [
+            st("pre_processing", [Slot("input_datasets")],
+               [Slot("prepared_datasets")]),
+            st("schema_alignment", [Slot("prepared_datasets")],
+               [Slot("records")]),
+            st("blocking_link_only", [Slot("records", K.validate_records)],
+               [Slot("pairs")]),
+            st("em_training", [Slot("pairs", K.validate_pairs),
+                               Slot("records")],
+               [Slot("model")]),
+            st("evaluating_pairs", [Slot("pairs"), Slot("records"),
+                                    Slot("model")],
+               [Slot("links")]),
+            st("links_to_clusters", [Slot("links", K.validate_links)],
+               [Slot("new_clusters")]),
+            st("updating_clusters", [Slot("new_clusters"),
+                                     Slot("known_clusters")],
+               [Slot("clusters", K.validate_clusters)]),
+        ]
+        return Pipeline(stages), {"input_datasets", "known_clusters"}
+    if pipeline == "tutorial_cascade":
+        stages = [
+            st("pass1_exact_linkage", [Slot("input_datasets")],
+               [Slot("pass1_clusters")]),
+            st("determining_exclusions",
+               [Slot("pass1_clusters"), Slot("input_datasets")],
+               [Slot("ids_to_remove")]),
+            st("removing_records",
+               [Slot("input_datasets"), Slot("ids_to_remove")],
+               [Slot("remaining_datasets")]),
+            st("pass2_improved_linkage", [Slot("remaining_datasets")],
+               [Slot("pass2_clusters")]),
+            st("updating_clusters",
+               [Slot("pass1_clusters"), Slot("pass2_clusters")],
+               [Slot("clusters", K.validate_clusters)]),
+        ]
+        return Pipeline(stages), {"input_datasets"}
+    raise SpecError(f"no dag skeleton for pipeline {pipeline!r}; "
+                    f"have {_PIPELINES}")

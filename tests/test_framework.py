@@ -294,3 +294,32 @@ def test_readme_authoring_example_runs(spark):
     exec(compile(code, "README.md", "exec"), ns)  # noqa: S102 — our own docs
     assert ns["env"]["filtered"].count() == 2  # c2 (1 turn) dropped
     assert '"drop_short_convs"' in ns["pipe"].to_dot(sources={"transcripts"})
+
+
+def test_cli_dag_subcommand(tmp_ckpt):
+    """`python -m easylink_spark dag spec.yaml` prints graphviz text for
+    the spec's pipeline (reference `easylink generate-dag`)."""
+    import contextlib
+    import io
+
+    import yaml
+
+    from easylink_spark.__main__ import main as cli_main
+
+    spec_path = tmp_ckpt + "/spec.yaml"
+    with open(spec_path, "w") as f:
+        yaml.safe_dump({
+            "pipeline": "tutorial_cascade",
+            "input": {"input_file_w2": tmp_ckpt},
+        }, f)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(["dag", spec_path])
+    assert rc == 0
+    dot = buf.getvalue()
+    assert dot.startswith("digraph tutorial_cascade {")
+    for stage in ("pass1_exact_linkage", "determining_exclusions",
+                  "removing_records", "pass2_improved_linkage",
+                  "updating_clusters"):
+        assert f'"{stage}"' in dot
+    assert "[validate_clusters]" in dot
