@@ -108,8 +108,8 @@ class StageRunner:
     def _manifest_path(self, name: str) -> Path:
         return self.base / f"{name}._manifest.json"
 
-    def _write(self, name: str, df: DataFrame) -> None:
-        if self.write_partitions and self.write_partitions > 1:
+    def _write(self, name: str, df: DataFrame, repartition: bool = True) -> None:
+        if repartition and self.write_partitions and self.write_partitions > 1:
             df = df.repartition(self.write_partitions)
         if self.iceberg_catalog:
             df.writeTo(f"{self.iceberg_catalog}.{name}").createOrReplace()
@@ -209,7 +209,13 @@ class StageRunner:
                     self._join_pending(inputs)
                     if self._errors:
                         return  # an upstream write failed; don't pile on
-                    self._write(name, cached)
+                    # no repartition: downstream consumers read the CACHE,
+                    # not these files, so shuffling every stage's bytes just
+                    # to shape the file count is pure overhead here — encode
+                    # straight from the cached partitioning (the sync path
+                    # keeps the repartition because its re-READ needs one
+                    # split per file for downstream parallelism)
+                    self._write(name, cached, repartition=False)
                     self._emit_manifest(name, cached, inputs, t0)
                 except BaseException as e:  # surfaced via _raise_pending_errors
                     self._errors.append(e)
