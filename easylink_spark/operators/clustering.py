@@ -183,6 +183,20 @@ def connected_components(
 
     if small_graph_edges is None:
         small_graph_edges = int(os.environ.get("EASYLINK_CC_SMALL_EDGES", "500000"))
+        # The union-find finish funnels the whole frontier through ONE task
+        # (repartition(1) + pandas concat) — its memory bound is the frontier
+        # size.  Clamp an oversized env override so a typo can't route a
+        # multi-GB edge set into a single executor task.
+        _CAP = 5_000_000
+        if small_graph_edges > _CAP:
+            import warnings
+
+            warnings.warn(
+                f"EASYLINK_CC_SMALL_EDGES={small_graph_edges} exceeds the "
+                f"single-task union-find memory bound; clamping to {_CAP}",
+                stacklevel=2,
+            )
+            small_graph_edges = _CAP
     cur = (
         edges.select(F.col(src).alias(SRC), F.col(dst).alias(DST))
         .filter(F.col(SRC).isNotNull() & F.col(DST).isNotNull())

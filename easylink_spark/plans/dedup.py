@@ -65,21 +65,34 @@ class DedupConfig:
 
 def run_dedup(
     spark: SparkSession,
-    transcripts: DataFrame,
+    transcripts: DataFrame | str,
     checkpoint_dir: str,
     config: DedupConfig | None = None,
 ) -> DataFrame:
-    """Full pipeline; returns the clusters contract DataFrame."""
+    """Full pipeline; returns the clusters contract DataFrame.
+
+    ``transcripts`` is either an ephemeral DataFrame or a PATH to a durable
+    parquet/Iceberg-style table (the production shape: the corpus already
+    exists as a table).
+    """
     cfg = config or DedupConfig()
     runner = StageRunner(spark, checkpoint_dir, cfg.as_dict())
 
-    # Input checkpoint: the raw transcripts land verbatim as stage 0 so the
+    # Input checkpoint, stage 0.  A durable source (path) is checkpointed BY
+    # REFERENCE — manifest pins (path, per-file rows+bytes), no copy: at
+    # 100 TB re-materializing the input would double the pipeline's IO for
+    # nothing.  An ephemeral DataFrame input lands verbatim instead, so the
     # per-row invariant (per-turn text equality under stable (conv_id,
-    # turn_idx) ordering, BASELINE.json) is checkable against every
-    # downstream text-carrying stage, and reruns never re-read the source.
-    raw = runner.stage(
-        "transcripts", lambda: transcripts, validator=validate_transcripts
-    )
+    # turn_idx) ordering, BASELINE.json) stays checkable against every
+    # downstream text-carrying stage and reruns never recompute the source.
+    if isinstance(transcripts, str):
+        raw = runner.source(
+            "transcripts", transcripts, validator=validate_transcripts
+        )
+    else:
+        raw = runner.stage(
+            "transcripts", lambda: transcripts, validator=validate_transcripts
+        )
 
     records = runner.stage(
         "records",

@@ -104,8 +104,11 @@ def run_spec(spec: dict, spark: SparkSession | None = None) -> DataFrame:
         ckpt = spec.get("checkpoint_dir")
         if not ckpt:
             raise SpecError("dedup pipeline needs checkpoint_dir")
+        # spec inputs are paths to durable tables — hand the PATH through so
+        # the input stage checkpoints by reference instead of copying it
         clusters = run_dedup(
-            spark, inputs["transcripts"], ckpt, _configure(DedupConfig, cfg)
+            spark, str(spec["input"]["transcripts"]), ckpt,
+            _configure(DedupConfig, cfg)
         )
     elif spec["pipeline"] == "splink_dummy":
         from easylink_spark.plans.person_linkage import run_splink_dummy_pipeline

@@ -91,6 +91,10 @@ class StageRunner:
         )
         self._pending: dict[str, threading.Thread] = {}
         self._errors: list[BaseException] = []
+        # per-stage seconds a background writer spent WAITING on its inputs'
+        # writers (recorded in the manifest: async-mode wall_sec values
+        # overlap, so this makes the per-stage decomposition honest)
+        self._wait_secs: dict[str, float] = {}
         # Default: shuffle.partitions output files (multiple task waves per
         # core) so encode parallelizes and the re-read has enough splits.
         # On a real cluster with large stage outputs, pass None to let the
@@ -157,6 +161,63 @@ class StageRunner:
         self._join_pending()
         self._raise_pending_errors()
 
+    def source(
+        self,
+        name: str,
+        path: str | Path,
+        validator: Callable[[DataFrame], DataFrame] | None = None,
+    ) -> DataFrame:
+        """Register a pre-existing DURABLE table as a pipeline input by
+        REFERENCE — a lineage manifest pinning (path, per-file rows+bytes),
+        no copy.
+
+        ``stage()`` exists to make ephemeral stage outputs durable; the
+        input corpus at target scale is a ~100 TB Iceberg/parquet table
+        that is *already* durable, so copying it into the checkpoint area
+        buys nothing and costs a full read+write of the corpus.  The
+        manifest's content hash folds in the path and every file's
+        (rows, bytes), so downstream lineage still invalidates when the
+        source is replaced.  (On an Iceberg catalog the equivalent pin is
+        the snapshot id; this path-based variant covers the parquet
+        fallback this sandbox runs.)
+        """
+        from easylink_spark.contracts import _validation_enabled
+
+        t0 = time.time()
+        path = Path(path)
+        n_rows, file_stats = _parquet_footer_stats(path)
+        manifest = {
+            "stage": name,
+            "config_hash": self.config_hash,
+            "lineage": {},
+            "by_reference": str(path),
+            "rows": n_rows,
+            "files": file_stats,
+            "partitions": [],
+            "data_hash": None,
+            "columns": None,
+            "wall_sec": round(time.time() - t0, 3),
+            "content_hash": _stable_hash(
+                {
+                    "rows": n_rows,
+                    "files": file_stats,
+                    "path": str(path),
+                    "config": self.config_hash,
+                    "lineage": {},
+                }
+            ),
+        }
+        df = self.spark.read.parquet(str(path))
+        manifest["columns"] = df.columns
+        mpath = self._manifest_path(name)
+        prior = json.loads(mpath.read_text()) if mpath.exists() else None
+        if prior is None or prior.get("content_hash") != manifest["content_hash"]:
+            if validator is not None and _validation_enabled():
+                validator(df)
+            mpath.write_text(json.dumps(manifest, indent=1))
+        self.manifests[name] = manifest
+        return df
+
     def stage(
         self,
         name: str,
@@ -187,6 +248,11 @@ class StageRunner:
 
         inputs = inputs or []
         self._raise_pending_errors()
+        # A force=True re-run (or name reuse) while a prior background write
+        # to the same table is in flight would race two writers on one
+        # parquet directory/manifest — join the old writer first.
+        self._join_pending([name])
+        self._raise_pending_errors()
         mpath = self._manifest_path(name)
         if not force and mpath.exists():
             # input manifests must be FINAL before the lineage comparison
@@ -206,9 +272,11 @@ class StageRunner:
 
             def _bg() -> None:
                 try:
+                    tw = time.time()
                     self._join_pending(inputs)
                     if self._errors:
                         return  # an upstream write failed; don't pile on
+                    self._wait_secs[name] = round(time.time() - tw, 3)
                     # no repartition: downstream consumers read the CACHE,
                     # not these files, so shuffling every stage's bytes just
                     # to shape the file count is pure overhead here — encode
@@ -229,6 +297,11 @@ class StageRunner:
         stored = self.read(name)
         if validator is not None:
             validator(stored)
+        # A validated (sync) stage can follow async stages: its inputs'
+        # manifests must be FINAL before lineage is recorded, else the
+        # dependency hashes read as "external" and resume always recomputes.
+        self._join_pending(inputs)
+        self._raise_pending_errors()
         self._emit_manifest(name, stored, inputs, t0)
         return stored
 
@@ -274,6 +347,9 @@ class StageRunner:
             "data_hash": data_hash,
             "columns": stored.columns,
             "wall_sec": round(time.time() - t0, 3),
+            # async mode: stage walls overlap; this is the slice of wall_sec
+            # the background writer spent blocked on upstream writers
+            "input_wait_sec": self._wait_secs.get(name, 0.0),
             "content_hash": _stable_hash(
                 {
                     "rows": n_rows,

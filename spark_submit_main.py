@@ -52,7 +52,9 @@ def main() -> None:
     elif args.format == "iceberg":
         transcripts = spark.table(args.input)
     else:
-        transcripts = spark.read.parquet(args.input)
+        # durable parquet input: pass the PATH so the input stage
+        # checkpoints by reference (no copy of the corpus)
+        transcripts = args.input
 
     cfg = DedupConfig(
         dataset_name=args.dataset_name,

@@ -138,6 +138,42 @@ def test_e2e_resume_skips_completed_stages(spark, pipeline):
     assert m["rows"] >= 0 and m["columns"]
 
 
+def test_e2e_input_by_reference(spark, tmp_ckpt):
+    """A durable parquet input (path) checkpoints BY REFERENCE: identical
+    clusters to the DataFrame path, no copy of the input into the
+    checkpoint dir, manifest pins path + footer stats, and resume holds."""
+    src = tmp_ckpt + "/corpus"
+    synth_transcripts(spark, n_entities=50, seed=11).drop("entity_id") \
+        .write.parquet(src)
+
+    c_ref = run_dedup(spark, src, tmp_ckpt + "/byref", DedupConfig())
+    c_df = run_dedup(
+        spark, spark.read.parquet(src), tmp_ckpt + "/bydf", DedupConfig()
+    )
+    assert c_ref.exceptAll(c_df).count() == 0
+    assert c_df.exceptAll(c_ref).count() == 0
+
+    byref = Path(tmp_ckpt) / "byref"
+    assert not (byref / "transcripts").exists(), "input must not be copied"
+    m = json.loads((byref / "transcripts._manifest.json").read_text())
+    assert m["by_reference"] == src
+    assert m["rows"] == spark.read.parquet(src).count()
+
+    # resume: nothing rewritten while the source is unchanged
+    manifests = sorted(byref.glob("*._manifest.json"))
+    before = {p.name: p.stat().st_mtime_ns for p in manifests}
+    run_dedup(spark, src, tmp_ckpt + "/byref", DedupConfig())
+    after = {p.name: p.stat().st_mtime_ns for p in manifests}
+    assert before == after
+
+    # replacing the source invalidates the reference manifest + downstream
+    synth_transcripts(spark, n_entities=60, seed=12).drop("entity_id") \
+        .write.mode("overwrite").parquet(src)
+    run_dedup(spark, src, tmp_ckpt + "/byref", DedupConfig())
+    m2 = json.loads((byref / "transcripts._manifest.json").read_text())
+    assert m2["content_hash"] != m["content_hash"]
+
+
 def test_e2e_deterministic_same_seed(spark, tmp_ckpt):
     t = synth_transcripts(spark, n_entities=50, seed=11).drop("entity_id").cache()
     c1 = run_dedup(spark, t, tmp_ckpt + "/a", DedupConfig())
