@@ -157,7 +157,14 @@ def run_cc_shape_bench(spark, n: int = 100_000) -> dict:
     default hybrid (union-find finish below the frontier threshold) and
     pure distributed star rounds (small_graph_edges=0).  Shows (a) the
     hybrid deleting the round tail on bench-scale graphs and (b) the star
-    kernel's O(log n) round count at 100 TB shapes."""
+    kernel's O(log n) round count at 100 TB shapes.
+
+    The star-rounds cases are a STATIC round-count proof (rounds <=
+    2 ceil(log2 n) + 2, asserted below), not a throughput measurement —
+    round 4 spent ~148 s of every default bench re-proving it at 20k/100k
+    nodes.  Default now runs them at 5k nodes (the log-n shape and the
+    assertion are scale-invariant); BENCH_CC_SHAPES=full restores the big
+    shapes for a one-off demonstration run."""
     from pyspark.sql import functions as F
 
     from easylink_spark.operators.clustering import connected_components
@@ -174,14 +181,14 @@ def run_cc_shape_bench(spark, n: int = 100_000) -> dict:
             F.format_string("s%09d", F.col("id")).alias("dst"),
         )
 
-    # star_rounds on the chain runs ~2 log2(n) full distributed rounds —
-    # the round-count DEMONSTRATION doesn't need 100k nodes (it cost 250 s
-    # under host load); n/5 keeps the log-n shape visible at ~1/3 the rounds' data
+    full = os.environ.get("BENCH_CC_SHAPES", "") == "full"
+    n_rounds_chain = n // 5 if full else 5_000
+    n_rounds_star = n if full else 5_000
     cases = {
         ("chain", "hybrid"): (chain(n), n, None),
-        ("chain", "star_rounds"): (chain(n // 5), n // 5, 0),
+        ("chain", "star_rounds"): (chain(n_rounds_chain), n_rounds_chain, 0),
         ("star", "hybrid"): (star(n), n, None),
-        ("star", "star_rounds"): (star(n), n, 0),
+        ("star", "star_rounds"): (star(n_rounds_star), n_rounds_star, 0),
     }
     out = {}
     import math
@@ -274,16 +281,66 @@ class _HostSampler:
 
 
 def main_single(cores: int) -> dict:
+    """Default (driver-recorded) mode, noise-robust: the headline e2e dedup
+    wall is retried up to $BENCH_ATTEMPTS (3) times, each attempt gated by
+    the scaling harness's quiet rules (1-min load p90 near self-load AND
+    hypervisor steal p90 <= $BENCH_MAX_STEAL, default 8%), stopping at the
+    first accepted attempt.  The reported value is the minimum accepted
+    wall (external contention only ever ADDS wall time); if no attempt is
+    accepted within the budget the minimum contaminated wall is reported
+    with ``"accepted": false`` so a noisy window is self-identifying
+    instead of reading as an engine regression (round-4 postmortem: a
+    load-36 window recorded 100 s for a 58 s engine).  All attempts are
+    stamped into the output."""
+    attempts_max = int(os.environ.get("BENCH_ATTEMPTS", "3"))
+    max_steal = float(os.environ.get("BENCH_MAX_STEAL", "8.0"))
+    max_load = float(os.environ.get("BENCH_MAX_LOAD", "6.0"))
     spark = _spark(cores)
-    ckpt = tempfile.mkdtemp(prefix="elspark_bench_")
-    sampler = _HostSampler()
-    sampler.__enter__()
+    # provision once, shared by every attempt (untimed input-table setup)
+    own_input = "BENCH_INPUT_DIR" not in os.environ
+    if own_input:
+        os.environ["BENCH_INPUT_DIR"] = tempfile.mkdtemp(prefix="elspark_corpus_")
+    input_dir, provision_sec, _ = provision_corpus(spark)
+
+    def gate_ok(s: dict) -> bool:
+        return (s["load_p90"] <= cores * 1.25 + 2.0
+                and s["steal_p90"] <= max_steal)
+
+    attempts: list[dict] = []
+    dedup = best = None
     try:
-        dedup = run_dedup_bench(spark, ckpt)
-        queries = run_query_bench(spark)
+        for i in range(attempts_max):
+            if i > 0:  # first attempt starts immediately; retries wait
+                _wait_for_quiet_host(max_load=max_load, timeout_sec=300)
+            ckpt = tempfile.mkdtemp(prefix="elspark_bench_")
+            sampler = _HostSampler()
+            sampler.__enter__()
+            try:
+                d = run_dedup_bench(spark, ckpt)
+            finally:
+                sampler.__exit__()
+                shutil.rmtree(ckpt, ignore_errors=True)
+            s = sampler.summary()
+            ok = gate_ok(s)
+            attempts.append({"wall_sec": d["wall_sec"], **s, "accepted": ok})
+            if best is None or d["wall_sec"] < best["wall_sec"]:
+                best = {**d, **s, "accepted": ok}
+            if ok and (dedup is None or d["wall_sec"] < dedup["wall_sec"]):
+                dedup = {**d, **s, "accepted": True}
+            if ok:
+                break
+        if dedup is None:
+            dedup = best  # contaminated minimum, flagged accepted: false
+        qsampler = _HostSampler()
+        qsampler.__enter__()
+        try:
+            queries = run_query_bench(spark)
+        finally:
+            qsampler.__exit__()
     finally:
-        sampler.__exit__()
-        shutil.rmtree(ckpt, ignore_errors=True)
+        if own_input:
+            shutil.rmtree(input_dir, ignore_errors=True)
+            os.environ.pop("BENCH_INPUT_DIR", None)
     qsecs = {}
     for k, v in queries.items():
         if "sec" in v:
@@ -293,13 +350,17 @@ def main_single(cores: int) -> dict:
                 qsecs[f"{k}.{kk}"] = vv["sec"]
     qsecs["dedup_pipeline"] = dedup["wall_sec"]
     return {
-        **sampler.summary(),
+        "load_p90": dedup["load_p90"],
+        "steal_p90": dedup["steal_p90"],
+        "accepted": dedup["accepted"],
+        "attempts": attempts,
+        "query_load_p90": qsampler.summary()["load_p90"],
         "cc_shapes": queries.get("cc_shapes"),
         "metric": "e2e_dedup_sec",
         "value": dedup["wall_sec"],
         "unit": "sec",
         "timed_scope": "pipeline_only",
-        "provision_sec": dedup.get("provision_sec"),
+        "provision_sec": provision_sec,
         "queries": qsecs,
         "sf": SF,
         "cores": cores,
@@ -543,6 +604,14 @@ def main_scaling() -> None:
                "accepted_small": accepted(r_small, n_small),
                "accepted_big": accepted(r_big, n_big),
                "cpuset_small": cpuset_small, "cpuset_big": cpuset_big,
+               # both sides of a pair always share one checkpoint mode;
+               # stamped so mixed-mode logs stay auditable (the cpu-floor
+               # gate then naturally selects the lower-cpu mode's rows)
+               "async_ckpt": os.environ.get("EASYLINK_ASYNC_CHECKPOINT", "1"),
+               # per-stage decomposition (which stage fails to scale?) —
+               # the round-4 input-side diagnosis came from exactly this
+               "stage_walls_small": r_small.get("stage_walls"),
+               "stage_walls_big": r_big.get("stage_walls"),
                "eff_this_pair": round(
                    r_big["turns_per_sec"] / (4.0 * r_small["turns_per_sec"]), 3)}
         with open(log_path, "a") as f:
@@ -569,54 +638,16 @@ def main_scaling() -> None:
     eff_cpu = None
     if r_small.get("cpu_sec") and r_big.get("cpu_sec"):
         eff_cpu = r_small["cpu_sec"] / r_big["cpu_sec"]
-    md = f"""# BENCH/BASELINE — two-cluster-size scaling evidence
-
-Protocol (BASELINE.md): the identical dedup job (synthetic transcript corpus,
-{entities} entities, seed {SEED}, {r_small['turns']} turns) run at two
-parallelism levels on the same input; clusters asserted identical
-(checksum {r_small['checksum']}) before timing is accepted.
-
-Each attempt measures BOTH sides in the same quiet window (start gate: 1-min
-load <= {max_load}).  A run is accepted only if, DURING it, (a) the sampled
-1-min load stayed near its self-load (p90 <= cores x 1.25 + 2) and (b)
-hypervisor STEAL time stayed <= {max_steal}% (steal is the direct
-measurement of external contention on this virtualized shared host) — the
-N baseline is gated exactly as strictly as the 4N side, so external
-slowdown of the denominator cannot inflate the ratio.  The reported wall
-per side is the minimum over its accepted runs; external load only ever
-adds wall time, so the minimum estimates the uncontended wall.  Raw
-attempts: BENCH/attempts_r5.jsonl.
-
-Runs are UNPINNED by default: this guest's vCPUs show non-uniform steal
-(measured 5-13% per vCPU), so taskset-pinning traps threads on stolen
-vCPUs the guest scheduler would otherwise route around.  The pinned
-disjoint-cpuset experiment (BENCH_SCALING_PIN=1; pinned rows in the
-attempts log) measures the pinned-16 job at ~1.6-2x the CPU-seconds of the
-identical unpinned job — direct evidence that the residual wall-efficiency
-gap is host contention, not plan serialization.
-
-| parallelism | cpuset | wall (s) | turns/sec | cpu (s) | load p90 | steal p90 % |
-|---|---|---|---|---|---|---|
-| local[{n_small}] (N) | {r_small.get('cpuset') or 'unpinned'} | {r_small['wall_sec']} | {r_small['turns_per_sec']} | {r_small.get('cpu_sec')} | {r_small.get('load_p90')} | {r_small.get('steal_p90')} |
-| local[{n_big}] (4N) | {r_big.get('cpuset') or 'unpinned'} | {r_big['wall_sec']} | {r_big['turns_per_sec']} | {r_big.get('cpu_sec')} | {r_big.get('load_p90')} | {r_big.get('steal_p90')} |
-
-**Scaling efficiency (wall)** = throughput_4N / (4 x throughput_N) =
-{r_big['turns_per_sec']} / (4 x {r_small['turns_per_sec']}) = **{eff:.3f}**
-(gate: >= 0.8){'' if clean else '  [WARNING: includes load-contaminated runs]'}
-
-**Scaling efficiency (cpu)** = cpu_sec_N / cpu_sec_4N =
-{r_small.get('cpu_sec')} / {r_big.get('cpu_sec')} =
-**{f'{eff_cpu:.3f}' if eff_cpu else 'n/a'}** — CPU-seconds are nearly
-load-immune; the gap between eff_cpu and 1.0 is the work the SHARED host's
-memory-bandwidth contention adds per extra concurrent thread, a host
-property a real multi-node cluster (separate memory buses per executor)
-does not exhibit.
-
-Per-stage walls (N run): {r_small.get('stage_walls')}
-Per-stage walls (4N run): {r_big.get('stage_walls')}
-"""
-    with open(os.path.join(bench_dir, "BASELINE.md"), "w") as f:
-        f.write(md)
+    # BASELINE.md is regenerated ONLY from the full attempts log by
+    # main_scaling_report, which refuses when the log holds no accepted
+    # pair — a contaminated-only campaign invocation can therefore never
+    # shadow an earlier accepted-window report (round-4 postmortem: one
+    # noisy post-commit run overwrote the 0.780 report with a 0.625
+    # warning-table).  This process still prints its own-window JSON below.
+    try:
+        main_scaling_report()
+    except SystemExit as e:
+        print(f"BASELINE.md left untouched: {e}", file=sys.stderr)
     print(json.dumps({
         "metric": "scaling_efficiency", "value": round(eff, 3), "unit": "ratio",
         "queries": {f"dedup_local{n_small}_sec": r_small["wall_sec"],
@@ -636,7 +667,8 @@ Per-stage walls (4N run): {r_big.get('stage_walls')}
         shutil.rmtree(input_dir, ignore_errors=True)
 
 
-def main_scaling_report() -> None:
+def main_scaling_report(log_path: str | None = None,
+                        out_path: str | None = None) -> None:
     """Recompute the scaling verdict from the accumulated attempts log
     (BENCH/attempts_r5.jsonl) — every row is one paired window measured by
     main_scaling (small first, then 4N, same deterministic input, cluster
@@ -660,24 +692,43 @@ def main_scaling_report() -> None:
       nearly immune to time-slicing noise, so this isolates algorithmic
       scaling from per-thread bandwidth inflation.
 
-    Headline value per config: strict when non-empty, else cpu-floor."""
+    Headline value per config: strict when non-empty, else cpu-floor.
+
+    The report is VERSIONED to its campaign log (path + content hash
+    stamped in the header) and this function is the ONLY writer of
+    BENCH/BASELINE.md: it raises SystemExit — leaving any existing report
+    untouched — when the log contains no accepted pair, so a
+    contaminated-only invocation cannot shadow an accepted-window report
+    (round-4 postmortem).  ``log_path``/``out_path`` are injectable for the
+    unit test in tests/test_bench_contract.py."""
+    import hashlib
+
     bench_dir = os.path.join(os.path.dirname(__file__) or ".", "BENCH")
-    log_path = os.path.join(bench_dir, "attempts_r5.jsonl")
-    by_n: dict[int, list[dict]] = {}
-    with open(log_path) as f:
-        for line in f:
-            r = json.loads(line)
-            if r.get("cpuset_small"):
-                continue  # pinned isolation-experiment rows, reported prose-side
-            n0 = r.get("n", [4])[0]
-            by_n.setdefault(n0, []).append(r)
+    log_path = log_path or os.path.join(bench_dir, "attempts_r5.jsonl")
+    out_path = out_path or os.path.join(bench_dir, "BASELINE.md")
+    raw = open(log_path, "rb").read()
+    log_stamp = (f"{os.path.basename(log_path)} "
+                 f"(sha256 {hashlib.sha256(raw).hexdigest()[:12]}, "
+                 f"{len(raw.splitlines())} rows)")
+    # config = (N, checkpoint mode): estimator minima must never mix rows
+    # from different engine configurations — each section is one campaign
+    by_n: dict[tuple[int, str], list[dict]] = {}
+    for line in raw.decode().splitlines():
+        if not line.strip():
+            continue
+        r = json.loads(line)
+        if r.get("cpuset_small"):
+            continue  # pinned isolation-experiment rows, reported prose-side
+        n0 = r.get("n", [4])[0]
+        mode = "async" if r.get("async_ckpt", "1") != "0" else "sync"
+        by_n.setdefault((n0, mode), []).append(r)
     if not by_n:
         raise SystemExit(f"no unpinned attempts in {log_path}")
 
     sections = []
     results = {}
-    for n_small in sorted(by_n):
-        rows = by_n[n_small]
+    for n_small, mode in sorted(by_n):
+        rows = by_n[(n_small, mode)]
         n_big = 4 * n_small
 
         def side_ok(r, side, cores):
@@ -713,7 +764,7 @@ def main_scaling_report() -> None:
             cpu_floor_eff = None
             eff_cpu = None
         eff = strict_eff if strict_eff is not None else cpu_floor_eff
-        results[n_small] = {
+        results[(n_small, mode)] = {
             "strict": strict_eff, "cpu_floor": cpu_floor_eff,
             "eff_cpu": eff_cpu, "eff": eff,
             "wall_N": min(ok_small) if ok_small else None,
@@ -728,7 +779,7 @@ def main_scaling_report() -> None:
             f"{round(r['wall_small'] / (4 * r['wall_big']), 3)} |"
             for r in rows
         )
-        sections.append(f"""## local[{n_small}] vs local[{n_big}]
+        sections.append(f"""## local[{n_small}] vs local[{n_big}] — {mode} checkpointing
 
 | attempt | wall N (s) | wall 4N (s) | cpu N | cpu 4N | steal N p90 % | steal 4N p90 % | load N p90 | load 4N p90 | eff pair |
 |---|---|---|---|---|---|---|---|---|---|
@@ -741,10 +792,11 @@ def main_scaling_report() -> None:
 - eff_cpu (floor ratio, bandwidth-inflation isolate): {f'**{eff_cpu:.3f}**' if eff_cpu is not None else 'n/a (no cpu fields logged)'}
 """)
 
-    headline_n = max(results,
-                     key=lambda n: (results[n]["eff"] is not None,
-                                    results[n]["eff"] or 0.0))
-    head = results[headline_n]
+    headline_key = max(results,
+                       key=lambda k: (results[k]["eff"] is not None,
+                                      results[k]["eff"] or 0.0))
+    headline_n, headline_mode = headline_key
+    head = results[headline_key]
     if head["eff"] is None:
         raise SystemExit("no accepted attempt pair in any config — "
                          "rerun main_scaling in a quieter window")
@@ -756,7 +808,9 @@ Identical dedup job (synthetic transcript corpus,
 measured first, 60 s decay pause between sides, cluster checksums asserted
 identical on every run.  Quality signals sampled every 5 s during each
 run: 1-min loadavg and hypervisor steal % (this guest is virtualized on a
-shared 32-vCPU host).  Raw rows: BENCH/attempts_r5.jsonl.
+shared 32-vCPU host).  Raw rows: {log_stamp} — this report is
+regenerated only by `bench.py --scaling-report` over that complete log and
+is never written when the log holds no accepted pair.
 
 **Timed scope changed this round (documented, deliberate):** the corpus is
 provisioned ONCE to durable parquet before any measurement (TPC-style:
@@ -772,7 +826,8 @@ the ratio remains apples-to-apples because both sides always share one
 scope within a campaign.
 
 **Headline: scaling efficiency {head['eff']:.3f} at N=local[{headline_n}]
-vs 4N=local[{4 * headline_n}]** (gate >= 0.8; estimator:
+vs 4N=local[{4 * headline_n}], {headline_mode} checkpointing** (gate >=
+0.8; estimator:
 {'strict' if head['strict'] is not None else 'cpu-floor'}; walls
 {head['wall_N']} s -> {head['wall_4N']} s; eff_cpu {head['eff_cpu']:.3f}).
 
@@ -828,17 +883,18 @@ demonstrating the mechanism).  Real multi-executor clusters give each
 executor its own memory bus, so the wall gap this inflation causes is a
 sandbox-host property, not an engine property.
 """
-    with open(os.path.join(bench_dir, "BASELINE.md"), "w") as f:
+    with open(out_path, "w") as f:
         f.write(md)
     print(json.dumps({
         "metric": "scaling_efficiency",
         "value": round(head["eff"], 3), "unit": "ratio",
         "estimator": "strict" if head["strict"] is not None else "cpu_floor",
         "n": [headline_n, 4 * headline_n],
+        "checkpoint_mode": headline_mode,
         "per_config": {
-            str(n): {k: (round(v, 3) if isinstance(v, float) else v)
-                     for k, v in res.items()}
-            for n, res in results.items()
+            f"{n}_{m}": {k: (round(v, 3) if isinstance(v, float) else v)
+                         for k, v in res.items()}
+            for (n, m), res in results.items()
         },
     }))
 

@@ -39,3 +39,68 @@ def test_host_sampler_summary_fields():
     out = s.summary()
     assert set(out) == {"load_p90", "steal_p90"}
     assert out["load_p90"] >= 0.0
+
+
+def test_scaling_report_refuses_contaminated_only_log(tmp_path):
+    """Round-4 postmortem: one contaminated post-commit campaign overwrote
+    the accepted-window BASELINE.md with a rejected-only warning table.
+    The report writer must instead refuse (SystemExit) and leave any
+    existing report byte-identical when the log has no acceptable pair."""
+    import json
+
+    import pytest
+
+    log = tmp_path / "attempts_test.jsonl"
+    # both sides drowned: load p90 far above self-load -> no estimator
+    # (strict or cpu-floor) can accept either side
+    log.write_text(json.dumps({
+        "attempt": 0, "n": [2, 8],
+        "wall_small": 900.0, "wall_big": 800.0,
+        "cpu_small": 1400.0, "cpu_big": 1700.0,
+        "load_p90_small": 30.0, "load_p90_big": 31.0,
+        "steal_p90_small": 22.0, "steal_p90_big": 25.0,
+        "accepted_small": False, "accepted_big": False,
+        "cpuset_small": None, "cpuset_big": None,
+    }) + "\n")
+    out = tmp_path / "BASELINE.md"
+    prior = "# accepted-window report — must survive\n"
+    out.write_text(prior)
+    with pytest.raises(SystemExit):
+        bench.main_scaling_report(log_path=str(log), out_path=str(out))
+    assert out.read_text() == prior
+
+
+def test_scaling_report_writes_from_accepted_rows(tmp_path, capsys):
+    """With one clean pair in the log the report regenerates, stamps the
+    log's content hash, and headline eff comes from the accepted walls."""
+    import json
+
+    log = tmp_path / "attempts_test.jsonl"
+    rows = [
+        {  # clean pair: quiet load, steal under 4, cpu at floor
+            "attempt": 0, "n": [2, 8],
+            "wall_small": 640.0, "wall_big": 195.0,
+            "cpu_small": 1340.0, "cpu_big": 1500.0,
+            "load_p90_small": 2.1, "load_p90_big": 8.0,
+            "steal_p90_small": 1.5, "steal_p90_big": 2.0,
+            "accepted_small": True, "accepted_big": True,
+            "cpuset_small": None, "cpuset_big": None,
+        },
+        {  # contaminated pair: must not shadow the clean one
+            "attempt": 1, "n": [2, 8],
+            "wall_small": 900.0, "wall_big": 700.0,
+            "cpu_small": 2400.0, "cpu_big": 2900.0,
+            "load_p90_small": 28.0, "load_p90_big": 29.0,
+            "steal_p90_small": 20.0, "steal_p90_big": 21.0,
+            "accepted_small": False, "accepted_big": False,
+            "cpuset_small": None, "cpuset_big": None,
+        },
+    ]
+    log.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    out = tmp_path / "BASELINE.md"
+    bench.main_scaling_report(log_path=str(log), out_path=str(out))
+    rpt = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rpt["value"] == round(640.0 / (4 * 195.0), 3)
+    assert rpt["estimator"] == "strict"
+    md = out.read_text()
+    assert "attempts_test.jsonl (sha256 " in md

@@ -132,8 +132,65 @@ def test_multimodal_plumbing(spark):
 
     import pytest
 
-    with pytest.raises(NotImplementedError):
-        M.extract_features(media, decode="real")
+    # video real-decode genuinely needs ffmpeg: raised from the executor
+    with pytest.raises(Exception, match="NotImplementedError"):
+        M.extract_features(
+            media.filter("kind = 'video'"), decode="real"
+        ).collect()
+
+
+def _wav_bytes(freq=440.0, rate=8000, sec=0.25, amp=0.5):
+    import io
+    import wave
+
+    import numpy as np
+
+    t = np.arange(int(rate * sec)) / rate
+    x = (amp * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def _ppm_bytes(w=12, h=9):
+    import numpy as np
+
+    px = (np.arange(w * h * 3) % 256).astype("u1")
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def test_multimodal_real_decode_end_to_end(spark):
+    """decode="real" runs the pure-Python WAV + PPM codecs through the
+    distributed mapInPandas kernel: generated fixtures in, physically
+    meaningful features out (audio rms/duration, image dims/channel
+    means) — the plumbing flag is gone for these kinds."""
+    import numpy as np
+
+    from easylink_spark.operators import multimodal as M
+
+    wav, ppm = _wav_bytes(), _ppm_bytes()
+    rows = [
+        ("a1", "audio", bytearray(wav), ("audio/wav", None, None, 8000, 250)),
+        ("i1", "image", bytearray(ppm), ("image/x-ppm", 12, 9, None, None)),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    by_id = {r["media_id"]: r["feature"]
+             for r in M.extract_features(media, decode="real").collect()}
+    # audio: [duration_s, rate_khz, rms, peak, zcr, dc] + fft bands
+    dur, khz, rms = by_id["a1"][0], by_id["a1"][1], by_id["a1"][2]
+    assert abs(dur - 0.25) < 1e-6 and khz == 8.0
+    assert abs(rms - 0.5 / np.sqrt(2)) < 0.01  # 0.5-amp sine
+    # image: [width, height, mean r,g,b, std r,g,b] + gray histogram
+    assert by_id["i1"][0] == 12.0 and by_id["i1"][1] == 9.0
+    assert len(by_id["i1"]) == M.FEATURE_DIM
+
+    # real resize through the kernel: P6 re-encoded at the target dims
+    out = M.resize_images(media, 4, 3).filter("media_id = 'i1'").collect()[0]
+    assert M.decode_ppm(bytes(out["payload"])).shape == (3, 4, 3)
 
 
 def test_portable_simhash_matches_python_oracle(spark):
