@@ -18,11 +18,16 @@ write).
 
 Scale notes (the round-1 serial bottleneck lived here):
 
-- writes go through an explicit ``repartition(write_partitions)`` so the
-  parquet encode parallelizes even when AQE coalesced a byte-small stage
-  output to one partition, AND the re-read gets one split per file (small
-  files below maxPartitionBytes are otherwise packed into few read splits,
-  serializing every downstream per-row compute until the next shuffle);
+- writes land straight from the plan's own output partitioning — NO
+  repartition by default.  Round 1 forced ``repartition(shuffle
+  partitions)`` per stage to guard against AQE coalescing a byte-small
+  output to one file (which serializes the downstream re-read); that
+  guard cost a full extra shuffle of every stage's bytes.  The session
+  defaults make it unnecessary: ``coalescePartitions.parallelismFirst``
+  (Spark's default) with ``default.parallelism = shuffle partitions``
+  keeps AQE from coalescing below the configured parallelism, so stage
+  outputs arrive with enough partitions and the re-read gets one split
+  per file.  ``write_partitions`` remains available to force a layout;
 - row counts come from parquet footer metadata via pyarrow on the driver —
   zero Spark jobs per stage boundary (the round-1 count() re-scan is gone).
 """
@@ -95,15 +100,15 @@ class StageRunner:
         # writers (recorded in the manifest: async-mode wall_sec values
         # overlap, so this makes the per-stage decomposition honest)
         self._wait_secs: dict[str, float] = {}
-        # Default: shuffle.partitions output files (multiple task waves per
-        # core) so encode parallelizes and the re-read has enough splits.
-        # On a real cluster with large stage outputs, pass None to let the
-        # plan's own (AQE-sized) partitioning through, or an explicit number.
-        self.write_partitions = (
-            write_partitions
-            if write_partitions is not None
-            else int(spark.conf.get("spark.sql.shuffle.partitions"))
-        )
+        # Default: NO repartition — stages write straight from the plan's
+        # own (AQE-sized) output partitioning.  Re-shuffling every stage's
+        # bytes just to shape the file count is a full extra shuffle per
+        # stage (at 100 TB, the dominant cost; at bench scale a measured
+        # ~2-4 s per stage), and parquet re-reads split large files by
+        # row-group anyway, so downstream parallelism does not depend on
+        # file count.  Pass an explicit number to force an output layout
+        # (e.g. compacting a tiny dimension to one file).
+        self.write_partitions = write_partitions
 
     # -- storage layer ------------------------------------------------------
     def _table_path(self, name: str) -> Path:

@@ -41,7 +41,10 @@ def _person_frame(seed: int, n: int, dataset: str) -> pd.DataFrame:
     AND fuzzy comparison levels both matter."""
     g = np.random.default_rng(seed)
     person = np.arange(n)
-    first = [FIRST[i % len(FIRST)] for i in person]
+    # first names are (nearly) person-unique — strong linkage signal; the
+    # 16 shared last names create colliding blocks full of hard negatives
+    first = [FIRST[i % len(FIRST)] + (str(i // len(FIRST)) if i >= len(FIRST)
+                                      else "") for i in person]
     if dataset == "w2":
         for i in g.choice(n, size=max(1, n // 7), replace=False):
             s = first[i]

@@ -235,8 +235,6 @@ def test_iceberg_branch_with_fake_catalog(spark, tmp_ckpt, monkeypatch):
     (<catalog>.<stage>), createOrReplace (atomic replace) semantics, the
     count-based manifest path (no parquet footer stats), and that resume
     reads back through spark.table."""
-    from pyspark.sql import DataFrame
-
     catalog_dir = Path(tmp_ckpt) / "fake_catalog"
     catalog_dir.mkdir()
     calls = {"writeTo": [], "table": [], "mode": []}
@@ -265,7 +263,11 @@ def test_iceberg_branch_with_fake_catalog(spark, tmp_ckpt, monkeypatch):
             return spark.read.parquet(str(catalog_dir / short))
         return real_table(full_name)
 
-    monkeypatch.setattr(DataFrame, "writeTo", fake_writeTo)
+    # patch the CONCRETE DataFrame class (pyspark.sql.classic overrides
+    # the abstract base's writeTo, so patching pyspark.sql.DataFrame
+    # would not intercept)
+    concrete_df_cls = type(spark.range(1))
+    monkeypatch.setattr(concrete_df_cls, "writeTo", fake_writeTo)
     monkeypatch.setattr(spark, "table", fake_table)
 
     runner = StageRunner(spark, tmp_ckpt + "/ice",
