@@ -593,6 +593,9 @@ def main_scaling() -> None:
                 f"{checksum}"
             )
         rec = {"attempt": attempt, "n": [n_small, n_big],
+               # corpus size is part of the configuration key: walls from
+               # different corpus sizes must never share estimator minima
+               "entities": entities,
                "load_at_start": round(load, 1),
                "wall_small": r_small["wall_sec"], "wall_big": r_big["wall_sec"],
                "cpu_small": r_small.get("cpu_sec"), "cpu_big": r_big.get("cpu_sec"),
@@ -710,9 +713,10 @@ def main_scaling_report(log_path: str | None = None,
     log_stamp = (f"{os.path.basename(log_path)} "
                  f"(sha256 {hashlib.sha256(raw).hexdigest()[:12]}, "
                  f"{len(raw.splitlines())} rows)")
-    # config = (N, checkpoint mode): estimator minima must never mix rows
-    # from different engine configurations — each section is one campaign
-    by_n: dict[tuple[int, str], list[dict]] = {}
+    # config = (N, checkpoint mode, corpus size): estimator minima must
+    # never mix rows from different engine or input configurations — each
+    # section is one campaign
+    by_n: dict[tuple[int, str, int], list[dict]] = {}
     for line in raw.decode().splitlines():
         if not line.strip():
             continue
@@ -721,14 +725,15 @@ def main_scaling_report(log_path: str | None = None,
             continue  # pinned isolation-experiment rows, reported prose-side
         n0 = r.get("n", [4])[0]
         mode = "async" if r.get("async_ckpt", "1") != "0" else "sync"
-        by_n.setdefault((n0, mode), []).append(r)
+        ents = int(r.get("entities", 60000))  # pre-stamp rows were all 60k
+        by_n.setdefault((n0, mode, ents), []).append(r)
     if not by_n:
         raise SystemExit(f"no unpinned attempts in {log_path}")
 
     sections = []
     results = {}
-    for n_small, mode in sorted(by_n):
-        rows = by_n[(n_small, mode)]
+    for n_small, mode, ents in sorted(by_n):
+        rows = by_n[(n_small, mode, ents)]
         n_big = 4 * n_small
 
         def side_ok(r, side, cores):
@@ -764,7 +769,7 @@ def main_scaling_report(log_path: str | None = None,
             cpu_floor_eff = None
             eff_cpu = None
         eff = strict_eff if strict_eff is not None else cpu_floor_eff
-        results[(n_small, mode)] = {
+        results[(n_small, mode, ents)] = {
             "strict": strict_eff, "cpu_floor": cpu_floor_eff,
             "eff_cpu": eff_cpu, "eff": eff,
             "wall_N": min(ok_small) if ok_small else None,
@@ -779,7 +784,7 @@ def main_scaling_report(log_path: str | None = None,
             f"{round(r['wall_small'] / (4 * r['wall_big']), 3)} |"
             for r in rows
         )
-        sections.append(f"""## local[{n_small}] vs local[{n_big}] — {mode} checkpointing
+        sections.append(f"""## local[{n_small}] vs local[{n_big}] — {mode} checkpointing, {ents} entities
 
 | attempt | wall N (s) | wall 4N (s) | cpu N | cpu 4N | steal N p90 % | steal 4N p90 % | load N p90 | load 4N p90 | eff pair |
 |---|---|---|---|---|---|---|---|---|---|
@@ -795,16 +800,16 @@ def main_scaling_report(log_path: str | None = None,
     headline_key = max(results,
                        key=lambda k: (results[k]["eff"] is not None,
                                       results[k]["eff"] or 0.0))
-    headline_n, headline_mode = headline_key
+    headline_n, headline_mode, headline_ents = headline_key
     head = results[headline_key]
     if head["eff"] is None:
         raise SystemExit("no accepted attempt pair in any config — "
                          "rerun main_scaling in a quieter window")
     md = f"""# BENCH/BASELINE — two-cluster-size scaling evidence (round 5)
 
-Identical dedup job (synthetic transcript corpus,
-{os.environ.get('BENCH_ENTITIES_SCALING', '60000')} entities, seed {SEED},
-~1.05M turns) at two parallelism levels, unpinned, paired windows, N side
+Identical dedup job (synthetic transcript corpus, seed {SEED},
+entity count per section header — 60000 entities is ~1.05M turns) at two
+parallelism levels, unpinned, paired windows, N side
 measured first, 60 s decay pause between sides, cluster checksums asserted
 identical on every run.  Quality signals sampled every 5 s during each
 run: 1-min loadavg and hypervisor steal % (this guest is virtualized on a
@@ -826,7 +831,8 @@ the ratio remains apples-to-apples because both sides always share one
 scope within a campaign.
 
 **Headline: scaling efficiency {head['eff']:.3f} at N=local[{headline_n}]
-vs 4N=local[{4 * headline_n}], {headline_mode} checkpointing** (gate >=
+vs 4N=local[{4 * headline_n}], {headline_mode} checkpointing,
+{headline_ents} entities** (gate >=
 0.8; estimator:
 {'strict' if head['strict'] is not None else 'cpu-floor'}; walls
 {head['wall_N']} s -> {head['wall_4N']} s; eff_cpu {head['eff_cpu']:.3f}).
@@ -891,10 +897,11 @@ sandbox-host property, not an engine property.
         "estimator": "strict" if head["strict"] is not None else "cpu_floor",
         "n": [headline_n, 4 * headline_n],
         "checkpoint_mode": headline_mode,
+        "entities": headline_ents,
         "per_config": {
-            f"{n}_{m}": {k: (round(v, 3) if isinstance(v, float) else v)
-                         for k, v in res.items()}
-            for (n, m), res in results.items()
+            f"{n}_{m}_{e}": {k: (round(v, 3) if isinstance(v, float) else v)
+                             for k, v in res.items()}
+            for (n, m, e), res in results.items()
         },
     }))
 
