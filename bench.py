@@ -857,6 +857,11 @@ would:
   corpus once (full host parallelism) and every measured side reads the
   same files — datagen is input-table setup, exactly as TPC treats dbgen.
 
+Round 5 also widens the campaign design: sections below cover multiple
+(N vs 4N, corpus size) configurations (see "Why several configurations")
+instead of a single 2v8 pair, with estimator minima strictly partitioned
+per configuration.
+
 Prior engine rounds on the same protocol: hybrid CC + async stage
 checkpointing (round 4, cpu-floor 0.758 -> 0.796), salting/AQE/two-phase
 scoring (rounds 2-3).  Round-5 estimator movement is reported in the
@@ -868,6 +873,33 @@ e2e wall equal-or-better and byte-identical; on a real multi-executor
 cluster stage writes are IO-bound (object store / HDFS), where overlap is
 strictly a win.  `EASYLINK_ASYNC_CHECKPOINT=0` restores synchronous stage
 boundaries.
+
+## Why several (N, corpus) configurations
+
+The campaign publishes every (N vs 4N, corpus size) pair it measured,
+side by side, because the two axes isolate the two very different terms
+in the wall-efficiency ratio:
+
+- **Thread count (2v8 vs 1v4, same corpus)**: both sides of EVERY pair
+  run inside one guest on one shared memory bus, so the 4N side pays
+  per-thread bandwidth inflation the N side does not — measured directly
+  as eff_cpu = cpu_N/cpu_4N < 1 of the same deterministic job.  At 1v4
+  the bus is far from saturated on either side and the wall ratio
+  approaches the engine's algorithmic scaling; at 2v8 the 8-thread side
+  runs into the host's bandwidth ceiling and the wall ratio is capped
+  near eff_cpu regardless of plan quality.  On a real cluster each
+  executor has its own memory bus — the 1v4 number is the one that
+  transfers, and the 2v8 eff_cpu (not its wall ratio) is the honest
+  upper-bound witness for that claim.
+- **Corpus size (same N pair, more entities)**: the fixed per-stage cost
+  F (job scheduling, stage barriers, driver planning, manifest IO —
+  measured ~40-65 s via the per-stage walls in the attempt rows) does
+  not shrink with cores, so eff rises toward the bandwidth ceiling as
+  the scaled work W grows: eff = (F + W/N) / (4F + W/N).  A 100 TB
+  production run sits far to the W side of every bench corpus; the
+  multi-size sections show eff moving toward its asymptote exactly as
+  that model predicts, which is the strongest evidence the sandbox can
+  give that the plan itself has no hidden serial term.
 
 ## Why these estimators
 
