@@ -104,3 +104,48 @@ def test_scaling_report_writes_from_accepted_rows(tmp_path, capsys):
     assert rpt["estimator"] == "strict"
     md = out.read_text()
     assert "attempts_test.jsonl (sha256 " in md
+
+
+def test_scaling_report_partitions_by_corpus_size(tmp_path, capsys):
+    """Rows from different corpus sizes must never share estimator minima:
+    a 120k-entity wall in the same (N, mode) as 60k rows would corrupt
+    both sections' floors.  Sections are keyed (N, mode, entities); rows
+    predating the entities stamp default to the 60k corpus they all used."""
+    import json
+
+    log = tmp_path / "attempts_test.jsonl"
+    rows = [
+        {  # pre-stamp row (no "entities") -> 60000 bucket
+            "attempt": 0, "n": [2, 8],
+            "wall_small": 640.0, "wall_big": 195.0,
+            "cpu_small": 1340.0, "cpu_big": 1500.0,
+            "load_p90_small": 2.1, "load_p90_big": 8.0,
+            "steal_p90_small": 1.5, "steal_p90_big": 2.0,
+            "accepted_small": True, "accepted_big": True,
+            "cpuset_small": None, "cpuset_big": None,
+        },
+        {  # bigger corpus, same (N, mode): must land in its own section
+            "attempt": 0, "n": [2, 8], "entities": 120000,
+            "wall_small": 1300.0, "wall_big": 380.0,
+            "cpu_small": 2700.0, "cpu_big": 3000.0,
+            "load_p90_small": 2.2, "load_p90_big": 8.1,
+            "steal_p90_small": 1.4, "steal_p90_big": 2.2,
+            "accepted_small": True, "accepted_big": True,
+            "cpuset_small": None, "cpuset_big": None,
+        },
+    ]
+    log.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    out = tmp_path / "BASELINE.md"
+    bench.main_scaling_report(log_path=str(log), out_path=str(out))
+    rpt = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(rpt["per_config"]) == {"2_async_60000", "2_async_120000"}
+    # each section's eff uses only its own walls
+    assert rpt["per_config"]["2_async_60000"]["eff"] == round(
+        640.0 / (4 * 195.0), 3)
+    assert rpt["per_config"]["2_async_120000"]["eff"] == round(
+        1300.0 / (4 * 380.0), 3)
+    md = out.read_text()
+    assert "— async checkpointing, 60000 entities" in md
+    assert "— async checkpointing, 120000 entities" in md
+    # headline picks the best config and names its corpus size
+    assert rpt["entities"] == 120000
