@@ -149,3 +149,62 @@ def test_scaling_report_partitions_by_corpus_size(tmp_path, capsys):
     assert "— async checkpointing, 120000 entities" in md
     # headline picks the best config and names its corpus size
     assert rpt["entities"] == 120000
+
+
+def test_scaling_report_cross_config_model_fit(tmp_path, capsys):
+    """When one (mode, entities) group holds >= 3 distinct core counts,
+    the report publishes an Amdahl fit wall(c) = F + W/c solved on the two
+    narrowest configs, with wider configs as out-of-sample bandwidth
+    residuals.  Exact walls here: F=20, W=960 -> 980/500/260/140."""
+    import json
+
+    log = tmp_path / "attempts_test.jsonl"
+
+    def row(n_small, ws, wb, cs, cb):
+        return {
+            "attempt": 0, "n": [n_small, 4 * n_small], "entities": 60000,
+            "async_ckpt": "0",
+            "wall_small": ws, "wall_big": wb,
+            "cpu_small": cs, "cpu_big": cb,
+            "load_p90_small": 1.0, "load_p90_big": float(n_small),
+            "steal_p90_small": 1.0, "steal_p90_big": 1.0,
+            "accepted_small": True, "accepted_big": True,
+            "cpuset_small": None, "cpuset_big": None,
+        }
+
+    rows = [row(1, 980.0, 260.0, 990.0, 1000.0),
+            row(2, 500.0, 140.0, 995.0, 1010.0)]
+    log.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    out = tmp_path / "BASELINE.md"
+    bench.main_scaling_report(log_path=str(log), out_path=str(out))
+    rpt = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    fit = rpt["model"]["sync_60000"]
+    assert fit["fit_cores"] == [1, 2]
+    assert abs(fit["F_sec"] - 20.0) < 0.2
+    assert abs(fit["W_sec"] - 960.0) < 1.0
+    assert abs(fit["ideal_eff_1v4"] - (980.0 / (4 * 260.0))) < 1e-3
+    md = out.read_text()
+    assert "Cross-configuration model fit — sync checkpointing" in md
+    assert "OUT-OF-SAMPLE" in md
+
+
+def test_scaling_report_model_fit_skipped_on_two_points(tmp_path, capsys):
+    """A single campaign (two core counts) cannot validate the fit
+    out-of-sample, so no model section may be published from it."""
+    import json
+
+    log = tmp_path / "attempts_test.jsonl"
+    log.write_text(json.dumps({
+        "attempt": 0, "n": [2, 8], "entities": 60000, "async_ckpt": "0",
+        "wall_small": 640.0, "wall_big": 195.0,
+        "cpu_small": 1340.0, "cpu_big": 1500.0,
+        "load_p90_small": 2.1, "load_p90_big": 8.0,
+        "steal_p90_small": 1.5, "steal_p90_big": 2.0,
+        "accepted_small": True, "accepted_big": True,
+        "cpuset_small": None, "cpuset_big": None,
+    }) + "\n")
+    out = tmp_path / "BASELINE.md"
+    bench.main_scaling_report(log_path=str(log), out_path=str(out))
+    rpt = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rpt["model"] == {}
+    assert "Cross-configuration model fit" not in out.read_text()
