@@ -208,3 +208,33 @@ def test_scaling_report_model_fit_skipped_on_two_points(tmp_path, capsys):
     rpt = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rpt["model"] == {}
     assert "Cross-configuration model fit" not in out.read_text()
+
+
+def test_scaling_report_model_fit_refuses_nonphysical(tmp_path, capsys):
+    """Contaminated walls can invert the fit (a 2-core wall SLOWER than the
+    1-core wall gives W <= 0; a too-fast wide wall gives F < 0).  The report
+    must refuse to publish such a fit rather than print garbage physics."""
+    import json
+
+    log = tmp_path / "attempts_test.jsonl"
+
+    def row(n_small, ws, wb):
+        return {
+            "attempt": 0, "n": [n_small, 4 * n_small], "entities": 60000,
+            "async_ckpt": "0",
+            "wall_small": ws, "wall_big": wb,
+            "cpu_small": 990.0, "cpu_big": 1000.0,
+            "load_p90_small": 1.0, "load_p90_big": float(n_small),
+            "steal_p90_small": 1.0, "steal_p90_big": 1.0,
+            "accepted_small": True, "accepted_big": True,
+            "cpuset_small": None, "cpuset_big": None,
+        }
+
+    # c=2 wall (1100) slower than c=1 wall (980) -> W < 0: refuse.
+    rows = [row(1, 980.0, 260.0), row(2, 1100.0, 140.0)]
+    log.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    out = tmp_path / "BASELINE.md"
+    bench.main_scaling_report(log_path=str(log), out_path=str(out))
+    rpt = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rpt["model"] == {}
+    assert "Cross-configuration model fit" not in out.read_text()
