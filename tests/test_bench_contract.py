@@ -210,28 +210,65 @@ def test_scaling_report_model_fit_skipped_on_two_points(tmp_path, capsys):
     assert "Cross-configuration model fit" not in out.read_text()
 
 
-def test_scaling_report_model_fit_refuses_nonphysical(tmp_path, capsys):
-    """Contaminated walls can invert the fit (a 2-core wall SLOWER than the
-    1-core wall gives W <= 0; a too-fast wide wall gives F < 0).  The report
-    must refuse to publish such a fit rather than print garbage physics."""
+def _fit_row(n_small, ws, wb, entities=60000):
+    return {
+        "attempt": 0, "n": [n_small, 4 * n_small], "entities": entities,
+        "async_ckpt": "0",
+        "wall_small": ws, "wall_big": wb,
+        "cpu_small": 990.0, "cpu_big": 1000.0,
+        "load_p90_small": 1.0, "load_p90_big": float(n_small),
+        "steal_p90_small": 1.0, "steal_p90_big": 1.0,
+        "accepted_small": True, "accepted_big": True,
+        "cpuset_small": None, "cpuset_big": None,
+    }
+
+
+def test_scaling_report_model_fit_skips_contaminated_pair(tmp_path, capsys):
+    """A measured min-wall is an UPPER bound of the true wall, so a fit
+    whose curve exceeds any measured point is self-contradicted.  Here the
+    c=2 wall (1100) is contaminated: the (1,2) pair gives W < 0, and the
+    fit must fall through to the narrowest FEASIBLE pair (1,4) — whose
+    curve (F=20, W=960) sits at or below every measured point."""
     import json
 
     log = tmp_path / "attempts_test.jsonl"
+    rows = [_fit_row(1, 980.0, 260.0), _fit_row(2, 1100.0, 140.0)]
+    log.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    out = tmp_path / "BASELINE.md"
+    bench.main_scaling_report(log_path=str(log), out_path=str(out))
+    rpt = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    fit = rpt["model"]["sync_60000"]
+    assert fit["fit_cores"] == [1, 4]
+    assert abs(fit["F_sec"] - 20.0) < 0.2
+    assert abs(fit["W_sec"] - 960.0) < 1.0
 
-    def row(n_small, ws, wb):
-        return {
-            "attempt": 0, "n": [n_small, 4 * n_small], "entities": 60000,
-            "async_ckpt": "0",
-            "wall_small": ws, "wall_big": wb,
-            "cpu_small": 990.0, "cpu_big": 1000.0,
-            "load_p90_small": 1.0, "load_p90_big": float(n_small),
-            "steal_p90_small": 1.0, "steal_p90_big": 1.0,
-            "accepted_small": True, "accepted_big": True,
-            "cpuset_small": None, "cpuset_big": None,
-        }
 
-    # c=2 wall (1100) slower than c=1 wall (980) -> W < 0: refuse.
-    rows = [row(1, 980.0, 260.0), row(2, 1100.0, 140.0)]
+def test_scaling_report_model_fit_skips_infeasible_pair(tmp_path, capsys):
+    """A pair can be physical (W > 0, F >= 0) yet still contaminated: its
+    curve rises ABOVE a quieter measured point elsewhere.  c=1:990,
+    c=2:600 gives F=210, W=780 -> model(4)=405 > measured 260: skip to
+    (1,4) (F=16.7, W=973.3), which is feasible everywhere."""
+    import json
+
+    log = tmp_path / "attempts_test.jsonl"
+    rows = [_fit_row(1, 990.0, 260.0), _fit_row(2, 600.0, 150.0)]
+    log.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    out = tmp_path / "BASELINE.md"
+    bench.main_scaling_report(log_path=str(log), out_path=str(out))
+    rpt = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    fit = rpt["model"]["sync_60000"]
+    assert fit["fit_cores"] == [1, 4]
+    assert abs(fit["F_sec"] - (990.0 - (990.0 - 260.0) / 0.75)) < 0.2
+
+
+def test_scaling_report_model_fit_refuses_nonphysical(tmp_path, capsys):
+    """When EVERY pair is non-physical (walls that grow with core count:
+    W <= 0 for all pairs), the report must refuse to publish a fit rather
+    than print garbage physics."""
+    import json
+
+    log = tmp_path / "attempts_test.jsonl"
+    rows = [_fit_row(1, 980.0, 1200.0), _fit_row(2, 1100.0, 1300.0)]
     log.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
     out = tmp_path / "BASELINE.md"
     bench.main_scaling_report(log_path=str(log), out_path=str(out))
