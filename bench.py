@@ -816,32 +816,42 @@ def main_scaling_report(log_path: str | None = None,
     # guarantees every out-of-sample residual is >= 0 (it is the measured
     # per-thread bandwidth inflation that eff_cpu tracks, plus however far
     # that point's quietest window sat from true quiet).
+    def feasible_fit(pts: dict[int, float]):
+        """Narrowest physical AND feasible exact solve of wall(c) = F + W/c,
+        or None.  Feasible: the curve must not exceed any measured point
+        (0.1% tolerance for rounding) — measured min-walls are upper bounds
+        of the true wall, so a curve above one is self-contradicted."""
+        cs = sorted(pts)
+        for i in range(len(cs)):
+            for j in range(i + 1, len(cs)):
+                ci, cj = cs[i], cs[j]
+                work = (pts[ci] - pts[cj]) / (1.0 / ci - 1.0 / cj)
+                fixed = pts[ci] - work / ci
+                if work <= 0 or fixed < 0:
+                    continue  # non-physical — contaminated pair
+                if all(fixed + work / c <= pts[c] * 1.001 for c in cs):
+                    return ci, cj, work, fixed
+        return None
+
     model_json: dict[str, dict] = {}
     pts_by_group: dict[tuple[str, int], dict[int, float]] = {}
+    stage_pts: dict[tuple[str, int], dict[str, dict[int, float]]] = {}
     for (n_small, mode, ents), res in results.items():
         pts = pts_by_group.setdefault((mode, ents), {})
         for c, w in ((n_small, res["wall_N"]), (4 * n_small, res["wall_4N"])):
             if w is not None:
                 pts[c] = min(pts.get(c, float("inf")), w)
+        spts = stage_pts.setdefault((mode, ents), {})
+        for r in by_n[(n_small, mode, ents)]:
+            for side, c in (("small", n_small), ("big", 4 * n_small)):
+                for st, w in (r.get(f"stage_walls_{side}") or {}).items():
+                    d = spts.setdefault(st, {})
+                    d[c] = min(d.get(c, float("inf")), w)
     for (mode, ents), pts in sorted(pts_by_group.items()):
         if len(pts) < 3:
             continue  # need an out-of-sample core count to validate the fit
         cs = sorted(pts)
-        fit = None
-        for i in range(len(cs)):
-            for j in range(i + 1, len(cs)):
-                c1, c2 = cs[i], cs[j]
-                work = (pts[c1] - pts[c2]) / (1.0 / c1 - 1.0 / c2)
-                fixed = pts[c1] - work / c1
-                if work <= 0 or fixed < 0:
-                    continue  # non-physical — contaminated pair
-                # feasibility: curve must not exceed any measured upper
-                # bound (0.1% tolerance for rounding)
-                if all(fixed + work / c <= pts[c] * 1.001 for c in cs):
-                    fit = (c1, c2, work, fixed)
-                    break
-            if fit:
-                break
+        fit = feasible_fit(pts)
         if fit is None:
             continue  # no physical, feasible pair — refuse to publish
         c1, c2, work, fixed = fit
@@ -851,11 +861,45 @@ def main_scaling_report(log_path: str | None = None,
             for c in cs)
         serial_frac = fixed / (fixed + work)
         ideal_1v4 = (fixed + work) / (4.0 * (fixed + work / 4.0))
+        # Per-stage decomposition: the same feasible-pair fit over each
+        # stage's min wall per core count — locates WHERE the fixed term
+        # lives (the gap between the stage-F sum and the total F is
+        # inter-stage driver time: scheduling, manifests, barriers).
+        stage_fits = {}
+        for st, spts in sorted(stage_pts.get((mode, ents), {}).items()):
+            sfit = feasible_fit(spts) if len(spts) >= 3 else None
+            # skip sub-second stages (by-reference inputs, trivial maps):
+            # their fit is rounding noise
+            if sfit is not None and sfit[2] + sfit[3] >= 1.0:
+                stage_fits[st] = {"F_sec": round(sfit[3], 1),
+                                  "W_sec": round(sfit[2], 1),
+                                  "fit_cores": [sfit[0], sfit[1]]}
+        stage_md = ""
+        if stage_fits:
+            stage_rows = "\n".join(
+                f"| {st} | {v['F_sec']} | {v['W_sec']} | "
+                f"{v['F_sec'] / (v['F_sec'] + v['W_sec']) * 100.0:.1f}% | "
+                f"({v['fit_cores'][0]}, {v['fit_cores'][1]}) |"
+                for st, v in stage_fits.items())
+            f_sum = sum(v["F_sec"] for v in stage_fits.values())
+            stage_md = f"""
+Per-stage decomposition (same feasible-pair fit on each stage's min wall
+per core count; stage-F sum {f_sum:.1f} s vs total F {fixed:.1f} s — the
+gap is inter-stage driver time (scheduling, manifest IO, stage-boundary
+barriers) plus cross-attempt mismatch: each stage's min may come from a
+different attempt than the whole-wall min, so the sums are not exactly
+additive):
+
+| stage | F (s) | W (s) | serial frac | fit pair |
+|---|---|---|---|---|
+{stage_rows}
+"""
         model_json[f"{mode}_{ents}"] = {
             "F_sec": round(fixed, 1), "W_sec": round(work, 1),
             "serial_fraction": round(serial_frac, 4),
             "ideal_eff_1v4": round(ideal_1v4, 3),
             "fit_cores": [c1, c2], "points": {str(c): pts[c] for c in cs},
+            "stages": stage_fits,
         }
         sections.append(f"""## Cross-configuration model fit — {mode} checkpointing, {ents} entities
 
@@ -881,7 +925,7 @@ fitted parameter:
     ' — the gap between that and the measured wall ratio is the'
     ' out-of-sample bandwidth residual above, which a multi-executor'
     ' cluster (private bus per executor) does not pay'}.
-""")
+{stage_md}""")
 
     headline_key = max(results,
                        key=lambda k: (results[k]["eff"] is not None,

@@ -161,11 +161,15 @@ def test_scaling_report_cross_config_model_fit(tmp_path, capsys):
     log = tmp_path / "attempts_test.jsonl"
 
     def row(n_small, ws, wb, cs, cb):
+        # stage 'work' is a pure F=4, W=96 Amdahl curve at every core count
+        stage = lambda c: {"work": 4.0 + 96.0 / c}  # noqa: E731
         return {
             "attempt": 0, "n": [n_small, 4 * n_small], "entities": 60000,
             "async_ckpt": "0",
             "wall_small": ws, "wall_big": wb,
             "cpu_small": cs, "cpu_big": cb,
+            "stage_walls_small": stage(n_small),
+            "stage_walls_big": stage(4 * n_small),
             "load_p90_small": 1.0, "load_p90_big": float(n_small),
             "steal_p90_small": 1.0, "steal_p90_big": 1.0,
             "accepted_small": True, "accepted_big": True,
@@ -183,9 +187,14 @@ def test_scaling_report_cross_config_model_fit(tmp_path, capsys):
     assert abs(fit["F_sec"] - 20.0) < 0.2
     assert abs(fit["W_sec"] - 960.0) < 1.0
     assert abs(fit["ideal_eff_1v4"] - (980.0 / (4 * 260.0))) < 1e-3
+    stage_fit = fit["stages"]["work"]
+    assert abs(stage_fit["F_sec"] - 4.0) < 0.2
+    assert abs(stage_fit["W_sec"] - 96.0) < 0.5
     md = out.read_text()
     assert "Cross-configuration model fit — sync checkpointing" in md
     assert "OUT-OF-SAMPLE" in md
+    assert "Per-stage decomposition" in md
+    assert "| work | 4.0 | 96.0 |" in md
 
 
 def test_scaling_report_model_fit_skipped_on_two_points(tmp_path, capsys):
