@@ -46,6 +46,23 @@ N_ENTITIES = int(os.environ.get("BENCH_ENTITIES", str(max(150, int(30000 * SF)))
 SEED = 42
 
 
+def _engine_rev() -> str:
+    """Short git revision of the engine under measurement.  Stamped into
+    every scaling-attempt row so the report's estimator minima (min-wall,
+    cpu floor) never mix rows measured on different engine versions — a
+    faster engine appended to an old campaign's log would otherwise
+    silently dominate that section's minima while the table still showed
+    the old walls."""
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(__file__) or ".",
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:  # pragma: no cover - git always present in-repo
+        return "unknown"
+
+
 def _spark(cores: int):
     from easylink_spark.session import get_spark
 
@@ -596,6 +613,9 @@ def main_scaling() -> None:
                # corpus size is part of the configuration key: walls from
                # different corpus sizes must never share estimator minima
                "entities": entities,
+               # engine revision: also part of the configuration key (see
+               # _engine_rev) — one section per engine version measured
+               "engine": _engine_rev(),
                "load_at_start": round(load, 1),
                "wall_small": r_small["wall_sec"], "wall_big": r_big["wall_sec"],
                "cpu_small": r_small.get("cpu_sec"), "cpu_big": r_big.get("cpu_sec"),
@@ -713,10 +733,11 @@ def main_scaling_report(log_path: str | None = None,
     log_stamp = (f"{os.path.basename(log_path)} "
                  f"(sha256 {hashlib.sha256(raw).hexdigest()[:12]}, "
                  f"{len(raw.splitlines())} rows)")
-    # config = (N, checkpoint mode, corpus size): estimator minima must
-    # never mix rows from different engine or input configurations — each
-    # section is one campaign
-    by_n: dict[tuple[int, str, int], list[dict]] = {}
+    # config = (N, checkpoint mode, corpus size, engine rev): estimator
+    # minima must never mix rows from different engine or input
+    # configurations — each section is one campaign on one engine version
+    by_n: dict[tuple[int, str, int, str], list[dict]] = {}
+    last_engine = None
     for line in raw.decode().splitlines():
         if not line.strip():
             continue
@@ -726,14 +747,19 @@ def main_scaling_report(log_path: str | None = None,
         n0 = r.get("n", [4])[0]
         mode = "async" if r.get("async_ckpt", "1") != "0" else "sync"
         ents = int(r.get("entities", 60000))  # pre-stamp rows were all 60k
-        by_n.setdefault((n0, mode, ents), []).append(r)
+        # pre-stamp rows all ran the round-5a engine (the engine-path code
+        # was unchanged across those campaigns; later commits were
+        # report/doc/test-only)
+        eng = r.get("engine") or "r5a"
+        last_engine = eng
+        by_n.setdefault((n0, mode, ents, eng), []).append(r)
     if not by_n:
         raise SystemExit(f"no unpinned attempts in {log_path}")
 
     sections = []
     results = {}
-    for n_small, mode, ents in sorted(by_n):
-        rows = by_n[(n_small, mode, ents)]
+    for n_small, mode, ents, eng in sorted(by_n):
+        rows = by_n[(n_small, mode, ents, eng)]
         n_big = 4 * n_small
 
         def side_ok(r, side, cores):
@@ -769,7 +795,7 @@ def main_scaling_report(log_path: str | None = None,
             cpu_floor_eff = None
             eff_cpu = None
         eff = strict_eff if strict_eff is not None else cpu_floor_eff
-        results[(n_small, mode, ents)] = {
+        results[(n_small, mode, ents, eng)] = {
             "strict": strict_eff, "cpu_floor": cpu_floor_eff,
             "eff_cpu": eff_cpu, "eff": eff,
             "wall_N": min(ok_small) if ok_small else None,
@@ -784,7 +810,7 @@ def main_scaling_report(log_path: str | None = None,
             f"{round(r['wall_small'] / (4 * r['wall_big']), 3)} |"
             for r in rows
         )
-        sections.append(f"""## local[{n_small}] vs local[{n_big}] — {mode} checkpointing, {ents} entities
+        sections.append(f"""## local[{n_small}] vs local[{n_big}] — {mode} checkpointing, {ents} entities, engine {eng}
 
 | attempt | wall N (s) | wall 4N (s) | cpu N | cpu 4N | steal N p90 % | steal 4N p90 % | load N p90 | load 4N p90 | eff pair |
 |---|---|---|---|---|---|---|---|---|---|
@@ -834,20 +860,20 @@ def main_scaling_report(log_path: str | None = None,
         return None
 
     model_json: dict[str, dict] = {}
-    pts_by_group: dict[tuple[str, int], dict[int, float]] = {}
-    stage_pts: dict[tuple[str, int], dict[str, dict[int, float]]] = {}
-    for (n_small, mode, ents), res in results.items():
-        pts = pts_by_group.setdefault((mode, ents), {})
+    pts_by_group: dict[tuple[str, int, str], dict[int, float]] = {}
+    stage_pts: dict[tuple[str, int, str], dict[str, dict[int, float]]] = {}
+    for (n_small, mode, ents, eng), res in results.items():
+        pts = pts_by_group.setdefault((mode, ents, eng), {})
         for c, w in ((n_small, res["wall_N"]), (4 * n_small, res["wall_4N"])):
             if w is not None:
                 pts[c] = min(pts.get(c, float("inf")), w)
-        spts = stage_pts.setdefault((mode, ents), {})
-        for r in by_n[(n_small, mode, ents)]:
+        spts = stage_pts.setdefault((mode, ents, eng), {})
+        for r in by_n[(n_small, mode, ents, eng)]:
             for side, c in (("small", n_small), ("big", 4 * n_small)):
                 for st, w in (r.get(f"stage_walls_{side}") or {}).items():
                     d = spts.setdefault(st, {})
                     d[c] = min(d.get(c, float("inf")), w)
-    for (mode, ents), pts in sorted(pts_by_group.items()):
+    for (mode, ents, eng), pts in sorted(pts_by_group.items()):
         if len(pts) < 3:
             continue  # need an out-of-sample core count to validate the fit
         cs = sorted(pts)
@@ -866,7 +892,7 @@ def main_scaling_report(log_path: str | None = None,
         # lives (the gap between the stage-F sum and the total F is
         # inter-stage driver time: scheduling, manifests, barriers).
         stage_fits = {}
-        for st, spts in sorted(stage_pts.get((mode, ents), {}).items()):
+        for st, spts in sorted(stage_pts.get((mode, ents, eng), {}).items()):
             sfit = feasible_fit(spts) if len(spts) >= 3 else None
             # skip sub-second stages (by-reference inputs, trivial maps):
             # their fit is rounding noise
@@ -894,14 +920,14 @@ additive):
 |---|---|---|---|---|
 {stage_rows}
 """
-        model_json[f"{mode}_{ents}"] = {
+        model_json[f"{mode}_{ents}_{eng}"] = {
             "F_sec": round(fixed, 1), "W_sec": round(work, 1),
             "serial_fraction": round(serial_frac, 4),
             "ideal_eff_1v4": round(ideal_1v4, 3),
             "fit_cores": [c1, c2], "points": {str(c): pts[c] for c in cs},
             "stages": stage_fits,
         }
-        sections.append(f"""## Cross-configuration model fit — {mode} checkpointing, {ents} entities
+        sections.append(f"""## Cross-configuration model fit — {mode} checkpointing, {ents} entities, engine {eng}
 
 `wall(c) = F + W/c` solved exactly on the narrowest FEASIBLE pair
 (c={c1}, c={c2}): every measured min-wall is an upper bound of the true
@@ -927,10 +953,15 @@ fitted parameter:
     ' cluster (private bus per executor) does not pay'}.
 {stage_md}""")
 
+    # Headline: the CURRENT engine's best accepted config — the engine of
+    # the newest log row.  Older engines' sections remain as history but
+    # must never headline a report describing the shipped engine.
     headline_key = max(results,
-                       key=lambda k: (results[k]["eff"] is not None,
+                       key=lambda k: (k[3] == last_engine
+                                      and results[k]["eff"] is not None,
+                                      results[k]["eff"] is not None,
                                       results[k]["eff"] or 0.0))
-    headline_n, headline_mode, headline_ents = headline_key
+    headline_n, headline_mode, headline_ents, headline_eng = headline_key
     head = results[headline_key]
     if head["eff"] is None:
         raise SystemExit("no accepted attempt pair in any config — "
@@ -962,7 +993,7 @@ scope within a campaign.
 
 **Headline: scaling efficiency {head['eff']:.3f} at N=local[{headline_n}]
 vs 4N=local[{4 * headline_n}], {headline_mode} checkpointing,
-{headline_ents} entities** (gate >=
+{headline_ents} entities, engine {headline_eng}** (gate >=
 0.8; estimator:
 {'strict' if head['strict'] is not None else 'cpu-floor'}; walls
 {head['wall_N']} s -> {head['wall_4N']} s; eff_cpu {head['eff_cpu']:.3f}).
@@ -1060,10 +1091,11 @@ sandbox-host property, not an engine property.
         "n": [headline_n, 4 * headline_n],
         "checkpoint_mode": headline_mode,
         "entities": headline_ents,
+        "engine": headline_eng,
         "per_config": {
-            f"{n}_{m}_{e}": {k: (round(v, 3) if isinstance(v, float) else v)
-                             for k, v in res.items()}
-            for (n, m, e), res in results.items()
+            f"{n}_{m}_{e}_{g}": {k: (round(v, 3) if isinstance(v, float) else v)
+                                 for k, v in res.items()}
+            for (n, m, e, g), res in results.items()
         },
         "model": model_json,
     }))

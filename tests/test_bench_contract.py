@@ -138,17 +138,59 @@ def test_scaling_report_partitions_by_corpus_size(tmp_path, capsys):
     out = tmp_path / "BASELINE.md"
     bench.main_scaling_report(log_path=str(log), out_path=str(out))
     rpt = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert set(rpt["per_config"]) == {"2_async_60000", "2_async_120000"}
+    assert set(rpt["per_config"]) == {"2_async_60000_r5a", "2_async_120000_r5a"}
     # each section's eff uses only its own walls
-    assert rpt["per_config"]["2_async_60000"]["eff"] == round(
+    assert rpt["per_config"]["2_async_60000_r5a"]["eff"] == round(
         640.0 / (4 * 195.0), 3)
-    assert rpt["per_config"]["2_async_120000"]["eff"] == round(
+    assert rpt["per_config"]["2_async_120000_r5a"]["eff"] == round(
         1300.0 / (4 * 380.0), 3)
     md = out.read_text()
     assert "— async checkpointing, 60000 entities" in md
     assert "— async checkpointing, 120000 entities" in md
     # headline picks the best config and names its corpus size
     assert rpt["entities"] == 120000
+
+
+def test_scaling_report_partitions_by_engine_rev(tmp_path, capsys):
+    """Rows measured on different engine versions must never share
+    estimator minima (a faster engine appended to an old campaign's log
+    would silently dominate that section's floors), and the headline must
+    come from the CURRENT engine — the one stamped on the newest row —
+    even when an older engine's section scored a higher efficiency."""
+    import json
+
+    base = {
+        "attempt": 0, "n": [2, 8], "entities": 60000,
+        "load_p90_small": 2.1, "load_p90_big": 8.0,
+        "steal_p90_small": 1.5, "steal_p90_big": 2.0,
+        "accepted_small": True, "accepted_big": True,
+        "cpuset_small": None, "cpuset_big": None,
+    }
+    rows = [
+        # old engine (pre-stamp): slower walls but BETTER efficiency
+        dict(base, wall_small=900.0, wall_big=250.0,
+             cpu_small=1800.0, cpu_big=1900.0),
+        # new engine: faster walls, slightly lower efficiency
+        dict(base, engine="abc1234", wall_small=600.0, wall_big=180.0,
+             cpu_small=1200.0, cpu_big=1350.0),
+    ]
+    log = tmp_path / "attempts_test.jsonl"
+    log.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    out = tmp_path / "BASELINE.md"
+    bench.main_scaling_report(log_path=str(log), out_path=str(out))
+    rpt = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(rpt["per_config"]) == {"2_async_60000_r5a",
+                                      "2_async_60000_abc1234"}
+    # each engine's eff from its own walls only
+    assert rpt["per_config"]["2_async_60000_r5a"]["eff"] == round(
+        900.0 / (4 * 250.0), 3)
+    assert rpt["per_config"]["2_async_60000_abc1234"]["eff"] == round(
+        600.0 / (4 * 180.0), 3)
+    # headline is the newest engine, not the best-scoring old one
+    assert rpt["engine"] == "abc1234"
+    assert rpt["value"] == round(600.0 / (4 * 180.0), 3)
+    md = out.read_text()
+    assert "engine abc1234" in md and "engine r5a" in md
 
 
 def test_scaling_report_cross_config_model_fit(tmp_path, capsys):
@@ -182,7 +224,7 @@ def test_scaling_report_cross_config_model_fit(tmp_path, capsys):
     out = tmp_path / "BASELINE.md"
     bench.main_scaling_report(log_path=str(log), out_path=str(out))
     rpt = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    fit = rpt["model"]["sync_60000"]
+    fit = rpt["model"]["sync_60000_r5a"]
     assert fit["fit_cores"] == [1, 2]
     assert abs(fit["F_sec"] - 20.0) < 0.2
     assert abs(fit["W_sec"] - 960.0) < 1.0
@@ -246,7 +288,7 @@ def test_scaling_report_model_fit_skips_contaminated_pair(tmp_path, capsys):
     out = tmp_path / "BASELINE.md"
     bench.main_scaling_report(log_path=str(log), out_path=str(out))
     rpt = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    fit = rpt["model"]["sync_60000"]
+    fit = rpt["model"]["sync_60000_r5a"]
     assert fit["fit_cores"] == [1, 4]
     assert abs(fit["F_sec"] - 20.0) < 0.2
     assert abs(fit["W_sec"] - 960.0) < 1.0
@@ -265,7 +307,7 @@ def test_scaling_report_model_fit_skips_infeasible_pair(tmp_path, capsys):
     out = tmp_path / "BASELINE.md"
     bench.main_scaling_report(log_path=str(log), out_path=str(out))
     rpt = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    fit = rpt["model"]["sync_60000"]
+    fit = rpt["model"]["sync_60000_r5a"]
     assert fit["fit_cores"] == [1, 4]
     assert abs(fit["F_sec"] - (990.0 - (990.0 - 260.0) / 0.75)) < 0.2
 
