@@ -146,12 +146,15 @@ def run_dedup(
             )
             gammas.unpersist()
         # two-phase: pairs that provably cannot reach the threshold on the
-        # cheap comparators never join the fat per-turn arrays nor pay the
-        # O(L^2) turn-alignment comparator (same final links, less shuffle)
+        # cheap comparators (token-set Jaccard + role signature, both pure
+        # JVM column exprs) never join the fat per-turn arrays, never pay
+        # the O(L^2) turn-alignment comparator, and never cross the Arrow
+        # boundary into the pure-Python Jaro-Winkler UDF — same final
+        # links (the bound is sound), a fraction of the comparator cost
         return S.score_pairs(
             pairs, records, comparisons, prior=cfg.prior,
             threshold=cfg.threshold, validate=False,
-            expensive_cols={"turn_texts"},
+            expensive_cols={"turn_texts", "first_text_norm"},
         )
 
     links = runner.stage(
