@@ -124,8 +124,12 @@ def default_transcript_comparisons() -> list[Comparison]:
         ),
         Comparison(
             "full_jaccard",
-            "full_text_norm",
-            _leveled(C.token_set_jaccard, [0.70, 0.45]),
+            # pre-tokenized distinct token-hash arrays (features.py
+            # full_tokens): same Jaccard values as token_set_jaccard on the
+            # raw text, but the tokenization is paid once per RECORD, not
+            # once per candidate PAIR
+            "full_tokens",
+            _leveled(C.hashed_token_set_jaccard, [0.70, 0.45]),
             m=[0.03, 0.15, 0.82],
             u=[0.94, 0.05, 0.01],
         ),
@@ -307,19 +311,28 @@ def score_pairs(
     prior: float = 0.01,
     threshold: float = 0.5,
     validate: bool = True,
-    expensive_cols: set[str] | None = None,
+    expensive_cols: set[str] | list[set[str]] | None = None,
 ) -> DataFrame:
     """End-to-end scoring: attach attributes, gammas, FS probability,
     threshold filter (P2) -> links contract.
 
-    ``expensive_cols`` enables TWO-PHASE scoring (splink's "filter on match
-    weight before expensive comparisons" idea): phase 1 attaches only the
-    cheap attribute columns and computes their gammas; a pair is pruned
-    when even the MAXIMUM possible weight from the expensive comparisons
-    cannot lift it over the threshold — a sound bound, so the surviving
-    link set is byte-identical to single-phase scoring.  Only survivors
-    join the fat columns (e.g. per-turn text arrays) and pay the O(L^2)
-    alignment comparators; at web scale most candidate pairs die cheaply.
+    ``expensive_cols`` enables MULTI-PHASE scoring (splink's "filter on
+    match weight before expensive comparisons" idea): phase 1 attaches only
+    the cheap attribute columns and computes their gammas; a pair is pruned
+    when even the MAXIMUM possible weight from the not-yet-scored
+    comparisons cannot lift it over the threshold — a sound bound, so the
+    surviving link set is byte-identical to single-phase scoring.  Only
+    survivors join the deferred columns and pay their comparators.
+
+    A ``set`` defers all named columns in one second phase.  A ``list`` of
+    sets defers them as an ORDERED CASCADE, cheapest first: each phase
+    re-tightens the bound with the weights it just computed before the next
+    (more expensive) phase joins its columns.  With pure-Python comparators
+    in the middle tier (e.g. Jaro-Winkler without a native fast path) and
+    an O(L^2) alignment comparator at the end, the cascade prunes most
+    pairs on pure-JVM expressions, sends only plausible ones across the
+    Arrow boundary, and reserves the alignment work for pairs that survive
+    both — at web scale most candidate pairs die in the first tier.
 
     ``validate=False`` skips the in-plan contract check — callers that
     checkpoint the result validate the *stored* table instead (each
@@ -336,54 +349,79 @@ def score_pairs(
     par = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     pairs = pairs.repartition(par, F.col(f"`{LEFT_DATASET}`"), F.col(f"`{LEFT_ID}`"))
 
-    expensive_cols = expensive_cols or set()
-    cheap = [c for c in comparisons if c.input_col not in expensive_cols]
-    fat = [c for c in comparisons if c.input_col in expensive_cols]
+    if isinstance(expensive_cols, (set, frozenset)):
+        phase_cols: list[set[str]] = [set(expensive_cols)]
+    else:
+        phase_cols = [set(s) for s in (expensive_cols or [])]
+    deferred_all = set().union(*phase_cols) if phase_cols else set()
+    cheap = [c for c in comparisons if c.input_col not in deferred_all]
+    deferred = [
+        p
+        for p in ([c for c in comparisons if c.input_col in s] for s in phase_cols)
+        if p
+    ]
 
     def cols_of(comps: list[Comparison]) -> list[str]:
         out = sorted({c.input_col for c in comps})
         out += sorted(c.tf_col() for c in comps if c.tf_adjustment)
         return out
 
-    if fat and cheap:
-        # The pruning bound below assumes a fat comparison's weight is capped
-        # by max_k log2(m_k/u_k); a tf-adjusted fat comparison can exceed it
-        # by tf_weight*log2(u_k/tf(v)) — unbounded for rare values — which
-        # would break the byte-identical-to-single-phase guarantee.
-        if any(c.tf_adjustment for c in fat):
+    if deferred and cheap:
+        # The pruning bound below assumes a deferred comparison's weight is
+        # capped by max_k log2(m_k/u_k); a tf-adjusted deferred comparison
+        # can exceed it by tf_weight*log2(u_k/tf(v)) — unbounded for rare
+        # values — which would break the byte-identical guarantee.
+        if any(c.tf_adjustment for p in deferred for c in p):
             raise ValueError(
-                "two-phase scoring (expensive_cols) does not support "
-                "tf-adjusted expensive comparisons; score them single-phase"
+                "multi-phase scoring (expensive_cols) does not support "
+                "tf-adjusted deferred comparisons; score them single-phase"
             )
-        # phase 1: cheap gammas + provable upper bound on the final weight
-        attrs1 = attach_pair_attributes(pairs, records, cols_of(cheap))
-        g1 = compute_gammas(attrs1, cheap)
-        bound = fs_probability(g1, cheap, prior).withColumnRenamed(
-            "match_weight", "_w_cheap"
-        )
-        # 0.0 included: the null level (gamma -1) contributes zero weight,
-        # which is the max when every non-null level weight is negative
-        max_fat = sum(
-            max([math.log2(m / u) for m, u in zip(c.m, c.u)] + [0.0])
-            for c in fat
-        )
         # threshold in weight space: p >= t  <=>  w >= log2(t/(1-t))
         w_t = math.log2(threshold / (1.0 - threshold))
-        survivors = bound.filter(
-            F.col("_w_cheap") + F.lit(max_fat) >= F.lit(w_t)
+
+        def max_weight(comps: list[Comparison]) -> float:
+            # 0.0 included: the null level (gamma -1) contributes zero
+            # weight, which is the max when every level weight is negative
+            return sum(
+                max([math.log2(m / u) for m, u in zip(c.m, c.u)] + [0.0])
+                for c in comps
+            )
+
+        scored = list(cheap)
+        cur = compute_gammas(
+            attach_pair_attributes(pairs, records, cols_of(cheap)), cheap
         )
-        attrs2 = attach_pair_attributes(
-            survivors.select(
-                *[F.col(f"`{c}`") for c in PAIR_COLS],
-                *[F.col(c.gamma_col()) for c in cheap],
-                # tf columns of cheap tf-adjusted comparisons feed the final
-                # fs_probability and must survive the phase boundary
-                *[F.col(f"`{c.tf_col()}_l`") for c in cheap if c.tf_adjustment],
-            ),
-            records,
-            cols_of(fat),
-        )
-        gammas = compute_gammas(attrs2, fat)
+        for i, phase in enumerate(deferred):
+            # prune on the scored-so-far weight + the best case of EVERY
+            # not-yet-scored comparison (this phase's and later phases')
+            rest = max_weight([c for p in deferred[i:] for c in p])
+            bound = fs_probability(cur, scored, prior).withColumnRenamed(
+                "match_weight", "_w_partial"
+            )
+            survivors = bound.filter(
+                F.col("_w_partial") + F.lit(rest) >= F.lit(w_t)
+            )
+            cur = compute_gammas(
+                attach_pair_attributes(
+                    survivors.select(
+                        *[F.col(f"`{c}`") for c in PAIR_COLS],
+                        *[F.col(c.gamma_col()) for c in scored],
+                        # tf columns of scored tf-adjusted comparisons feed
+                        # the final fs_probability and must survive the
+                        # phase boundary
+                        *[
+                            F.col(f"`{c.tf_col()}_l`")
+                            for c in scored
+                            if c.tf_adjustment
+                        ],
+                    ),
+                    records,
+                    cols_of(phase),
+                ),
+                phase,
+            )
+            scored += phase
+        gammas = cur
     else:
         attrs = attach_pair_attributes(pairs, records, cols_of(comparisons))
         gammas = compute_gammas(attrs, comparisons)

@@ -145,16 +145,17 @@ def run_dedup(
                 gammas, comparisons, cfg.prior, max_iter=cfg.em_iterations
             )
             gammas.unpersist()
-        # two-phase: pairs that provably cannot reach the threshold on the
-        # cheap comparators (token-set Jaccard + role signature, both pure
-        # JVM column exprs) never join the fat per-turn arrays, never pay
-        # the O(L^2) turn-alignment comparator, and never cross the Arrow
-        # boundary into the pure-Python Jaro-Winkler UDF — same final
-        # links (the bound is sound), a fraction of the comparator cost
+        # cascade scoring: tier 1 prunes on the pure-JVM comparators
+        # (token-set Jaccard + role signature); only plausible pairs cross
+        # the Arrow boundary into the Python Jaro-Winkler UDF (tier 2,
+        # short strings); only pairs that survive the JW-tightened bound
+        # join the fat per-turn arrays and pay the O(L^2) turn-alignment
+        # comparator (tier 3).  Each bound is sound, so the final links are
+        # byte-identical to single-phase scoring at a fraction of the cost
         return S.score_pairs(
             pairs, records, comparisons, prior=cfg.prior,
             threshold=cfg.threshold, validate=False,
-            expensive_cols={"turn_texts", "first_text_norm"},
+            expensive_cols=[{"first_text_norm"}, {"turn_texts"}],
         )
 
     links = runner.stage(

@@ -53,6 +53,7 @@ def test_blocking_prunes_record_columns(spark, records):
         if "ReadSchema" in line:
             assert "turn_texts" not in line, line
             assert "full_text_norm" not in line, line
+            assert "full_tokens" not in line, line
 
 
 def test_scoring_attach_uses_hash_join(spark, records):

@@ -148,12 +148,18 @@ def test_two_phase_scoring_identical_links(spark):
     two = S.score_pairs(pairs, recs, prior=0.01, threshold=0.85,
                         validate=False, expensive_cols={"turn_texts"})
     assert {tuple(r) for r in one.collect()} == {tuple(r) for r in two.collect()}
-    # the flagship defers BOTH fat comparators (turn-alignment arrays AND
-    # the pure-Python Jaro-Winkler UDF) — same soundness guarantee
+    # single second phase deferring BOTH fat comparators — same guarantee
     three = S.score_pairs(
         pairs, recs, prior=0.01, threshold=0.85, validate=False,
         expensive_cols={"turn_texts", "first_text_norm"})
     assert {tuple(r) for r in one.collect()} == {tuple(r) for r in three.collect()}
+    # the flagship's ordered CASCADE (JVM comparators -> Python JW ->
+    # O(L^2) turn alignment), each phase re-tightening the bound — the
+    # link set must still be byte-identical to single-phase scoring
+    four = S.score_pairs(
+        pairs, recs, prior=0.01, threshold=0.85, validate=False,
+        expensive_cols=[{"first_text_norm"}, {"turn_texts"}])
+    assert {tuple(r) for r in one.collect()} == {tuple(r) for r in four.collect()}
 
 
 def test_value_pairs_u_matches_bruteforce_both_universes(spark):
