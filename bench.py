@@ -30,6 +30,7 @@ from the accumulated attempts log.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -47,19 +48,27 @@ SEED = 42
 
 
 def _engine_rev() -> str:
-    """Short git revision of the engine under measurement.  Stamped into
+    """Content hash of the engine package's source files.  Stamped into
     every scaling-attempt row so the report's estimator minima (min-wall,
     cpu floor) never mix rows measured on different engine versions — a
     faster engine appended to an old campaign's log would otherwise
     silently dominate that section's minima while the table still showed
-    the old walls."""
+    the old walls.  A SOURCE hash (not the git HEAD rev) so doc/test/bench
+    commits made while a multi-hour campaign is appending rows don't fork
+    the section: engine identity is the code that executes."""
     try:
-        return subprocess.run(
-            ["git", "rev-parse", "--short", "HEAD"],
-            cwd=os.path.dirname(__file__) or ".",
-            capture_output=True, text=True, timeout=10,
-        ).stdout.strip() or "unknown"
-    except Exception:  # pragma: no cover - git always present in-repo
+        root = os.path.join(os.path.dirname(__file__) or ".", "easylink_spark")
+        h = hashlib.sha256()
+        for dirpath, dirnames, filenames in sorted(os.walk(root)):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                if fn.endswith(".py"):
+                    p = os.path.join(dirpath, fn)
+                    h.update(os.path.relpath(p, root).encode())
+                    with open(p, "rb") as f:
+                        h.update(f.read())
+        return h.hexdigest()[:7]
+    except Exception:  # pragma: no cover - source tree always readable
         return "unknown"
 
 
