@@ -1032,6 +1032,18 @@ Round 5 also widens the campaign design: sections below cover multiple
 instead of a single 2v8 pair, with estimator minima strictly partitioned
 per configuration.
 
+**Engine revisions in this log.** `r5a` is the round-5 baseline engine
+(string-split Jaccard, JW in phase 1).  `93e650e` was a three-tier
+cascade experiment (token-hash Jaccard; JW deferred to its own middle
+tier): it cut the 1-core wall ~1.3x but measured SLOWER at >=4 cores —
+the exact role-signature comparator alone admits a pair past any
+cheap-only bound, so the extra tier pruned almost nothing and paid an
+extra pairs<->records join + Arrow boundary for it (interleaved A/B at
+local[4], identical checksums: links 163-169 s three-tier vs 87-113 s
+two-phase).  Its rows stay in the log as the record of that rejection;
+the shipped engine keeps the token-hash Jaccard and returns JW to
+phase 1.
+
 Prior engine rounds on the same protocol: hybrid CC + async stage
 checkpointing (round 4, cpu-floor 0.758 -> 0.796), salting/AQE/two-phase
 scoring (rounds 2-3).  Round-5 estimator movement is reported in the
