@@ -964,11 +964,19 @@ fitted parameter:
 
     # Headline: the CURRENT engine's best accepted config — the engine of
     # the newest log row.  Older engines' sections remain as history but
-    # must never headline a report describing the shipped engine.
+    # must never headline a report describing the shipped engine.  Within
+    # an engine, a STRICT-accepted section (both sides measured at steal
+    # <= 4%) outranks any cpu-floor-only section regardless of the floor
+    # number: a contaminated campaign must never shadow a strict verdict
+    # (round-4/5 postmortems — a noisy 4v16 floor of 0.482 briefly
+    # headlined over a strict 0.860).
     headline_key = max(results,
                        key=lambda k: (k[3] == last_engine
                                       and results[k]["eff"] is not None,
+                                      k[3] == last_engine
+                                      and results[k]["strict"] is not None,
                                       results[k]["eff"] is not None,
+                                      results[k]["strict"] is not None,
                                       results[k]["eff"] or 0.0))
     headline_n, headline_mode, headline_ents, headline_eng = headline_key
     head = results[headline_key]

@@ -193,6 +193,47 @@ def test_scaling_report_partitions_by_engine_rev(tmp_path, capsys):
     assert "engine abc1234" in md and "engine r5a" in md
 
 
+def test_scaling_report_strict_section_outranks_floor_only(tmp_path, capsys):
+    """Within the current engine, a STRICT-accepted section (steal <= 4%
+    both sides) must headline over a cpu-floor-only (contaminated) section
+    even when the floor number is higher — a noisy campaign appended after
+    a strict verdict must never shadow it (round-5 postmortem: a 4v16
+    floor-only 0.482 briefly headlined over a strict 0.860; the dual
+    failure — a HIGH contaminated number shadowing a lower strict one —
+    would overstate the engine, which is worse)."""
+    import json
+
+    base = {
+        "attempt": 0, "entities": 60000, "engine": "eng5555",
+        "cpuset_small": None, "cpuset_big": None,
+        "accepted_small": True, "accepted_big": True,
+    }
+    rows = [
+        # strict window at 1v4: steal <= 4 both sides, eff 0.820
+        dict(base, n=[1, 4], wall_small=820.0, wall_big=250.0,
+             cpu_small=850.0, cpu_big=900.0,
+             load_p90_small=1.2, load_p90_big=4.0,
+             steal_p90_small=2.0, steal_p90_big=3.0),
+        # contaminated 4v16: steal 12% on the big side -> floor-only,
+        # and its floor eff (0.950) is HIGHER than the strict 0.820
+        dict(base, n=[4, 16], wall_small=260.0, wall_big=68.4,
+             cpu_small=950.0, cpu_big=1000.0,
+             load_p90_small=4.1, load_p90_big=12.0,
+             steal_p90_small=2.0, steal_p90_big=12.0),
+    ]
+    log = tmp_path / "attempts_test.jsonl"
+    log.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    out = tmp_path / "BASELINE.md"
+    bench.main_scaling_report(log_path=str(log), out_path=str(out))
+    rpt = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rpt["per_config"]["4_async_60000_eng5555"]["strict"] is None
+    assert rpt["per_config"]["4_async_60000_eng5555"]["eff"] == 0.95
+    # headline: the strict 1v4 verdict, not the higher contaminated floor
+    assert rpt["n"] == [1, 4]
+    assert rpt["value"] == round(820.0 / (4 * 250.0), 3)
+    assert "estimator:\nstrict" in out.read_text()
+
+
 def test_scaling_report_cross_config_model_fit(tmp_path, capsys):
     """When one (mode, entities) group holds >= 3 distinct core counts,
     the report publishes an Amdahl fit wall(c) = F + W/c solved on the two
