@@ -775,8 +775,17 @@ def main_scaling_report(log_path: str | None = None,
             return r[f"load_p90_{side}"] <= cores * 1.25 + 2.0
 
         def strict_ok(r, side, cores):
+            # A measured steal p90 of exactly 0.0 is the QUIETEST possible
+            # window, not missing data — only a truly absent field (old log
+            # rows predating the steal sampler) disqualifies a row from the
+            # strict set.  `or 99.0` here silently rejected every zero-steal
+            # row, leaving the strict minima to be taken over the noisier
+            # nonzero-steal windows (round-5 postmortem: that inflated the
+            # shipped-engine strict verdict to 0.907; the honest value over
+            # all quiet windows is 0.844).
+            steal = r.get(f"steal_p90_{side}")
             return (side_ok(r, side, cores)
-                    and (r.get(f"steal_p90_{side}") or 99.0) <= 4.0)
+                    and steal is not None and steal <= 4.0)
 
         strict_small = [r["wall_small"] for r in rows
                         if strict_ok(r, "small", n_small)]

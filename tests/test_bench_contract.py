@@ -367,3 +367,52 @@ def test_scaling_report_model_fit_refuses_nonphysical(tmp_path, capsys):
     rpt = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rpt["model"] == {}
     assert "Cross-configuration model fit" not in out.read_text()
+
+
+def test_scaling_report_zero_steal_window_counts_as_strict(tmp_path, capsys):
+    """A measured steal p90 of exactly 0.0 is the quietest possible window
+    and MUST enter the strict set; only a missing field (old rows predating
+    the steal sampler) disqualifies.  Regression: `or 99.0` coercion
+    treated 0.0 as missing, so the strict minima were taken over the
+    noisier nonzero-steal rows and the verdict inflated (round-5: a 0.907
+    headline where the honest all-quiet-windows value was 0.844)."""
+    import json
+
+    log = tmp_path / "attempts_test.jsonl"
+    rows = [
+        {  # zero-steal pair: QUIETEST window, fastest walls -> strict minima
+            "attempt": 0, "n": [1, 4],
+            "wall_small": 700.0, "wall_big": 207.0,
+            "cpu_small": 780.0, "cpu_big": 886.0,
+            "load_p90_small": 1.2, "load_p90_big": 3.9,
+            "steal_p90_small": 0.0, "steal_p90_big": 0.0,
+            "accepted_small": True, "accepted_big": True,
+            "cpuset_small": None, "cpuset_big": None,
+        },
+        {  # nonzero-steal quiet pair: slower walls, still strict-eligible
+            "attempt": 1, "n": [1, 4],
+            "wall_small": 756.0, "wall_big": 208.5,
+            "cpu_small": 848.0, "cpu_big": 893.0,
+            "load_p90_small": 1.8, "load_p90_big": 4.1,
+            "steal_p90_small": 0.2, "steal_p90_big": 0.1,
+            "accepted_small": True, "accepted_big": True,
+            "cpuset_small": None, "cpuset_big": None,
+        },
+        {  # pre-sampler row (no steal fields): excluded from strict even
+           # though its walls would dominate both minima
+            "attempt": 2, "n": [1, 4],
+            "wall_small": 600.0, "wall_big": 150.0,
+            "cpu_small": 700.0, "cpu_big": 800.0,
+            "load_p90_small": 1.0, "load_p90_big": 3.5,
+            "accepted_small": True, "accepted_big": True,
+            "cpuset_small": None, "cpuset_big": None,
+        },
+    ]
+    log.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    out = tmp_path / "BASELINE.md"
+    bench.main_scaling_report(log_path=str(log), out_path=str(out))
+    rpt = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # strict minima come from the zero-steal row, not the 0.2/0.1 row and
+    # not the steal-less row
+    assert rpt["estimator"] == "strict"
+    assert rpt["value"] == round(700.0 / (4 * 207.0), 3)
