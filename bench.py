@@ -103,6 +103,40 @@ def provision_corpus(spark) -> tuple[str, float, bool]:
     return out, round(time.time() - t0, 2), fixed is None
 
 
+def warmup_dedup(spark) -> float:
+    """Untimed warm-up: run the COMPLETE pipeline once on a 1/40-size corpus
+    so the measured run sees a warm JVM (C2-compiled whole-stage codegen,
+    loaded classes), a spawned + pandas-imported Python worker pool, and
+    initialized Arrow transfer paths.
+
+    Why this is measurement hygiene and not a shortcut: at 100 TB a job
+    runs for hours and pays these one-time costs once — but each benchmark
+    side here is a fresh ~10-minute process, so the same costs appear as a
+    pure constant F that no core count can divide, directly depressing the
+    N-vs-4N wall ratio (measured cold->warm back-to-back at local[4]/60k
+    entities: 327.7 s -> 252.8 s).  Measuring after warm-up is the JMH /
+    spark-sql-perf standard.  Both campaign sides warm identically, every
+    attempt row stamps ``warmup_sec`` + ``protocol: "warm"``, and the
+    report forks estimator sections on the protocol, so warm and cold
+    walls can never share minima.  BENCH_WARMUP=0 restores cold runs."""
+    from easylink_spark.plans.dedup import DedupConfig, run_dedup
+    from easylink_spark.synth import synth_transcripts
+
+    t0 = time.time()
+    n = max(500, N_ENTITIES // 40)
+    corpus = tempfile.mkdtemp(prefix="elspark_warm_corpus_")
+    ckpt = tempfile.mkdtemp(prefix="elspark_warm_ckpt_")
+    try:
+        synth_transcripts(spark, n_entities=n, seed=7).drop(
+            "entity_id"
+        ).write.mode("overwrite").parquet(corpus)
+        run_dedup(spark, corpus, ckpt, DedupConfig()).count()
+    finally:
+        shutil.rmtree(corpus, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return round(time.time() - t0, 2)
+
+
 def run_dedup_bench(spark, ckpt: str) -> dict:
     from pyspark.sql import functions as F
 
@@ -327,6 +361,11 @@ def main_single(cores: int) -> dict:
     if own_input:
         os.environ["BENCH_INPUT_DIR"] = tempfile.mkdtemp(prefix="elspark_corpus_")
     input_dir, provision_sec, _ = provision_corpus(spark)
+    # untimed warm-up (JIT, Python worker pool, Arrow init) so attempt 0
+    # measures the same warmed session attempts 1+ always did — protocol
+    # stamped in the output; BENCH_WARMUP=0 restores cold attempt 0
+    warm = os.environ.get("BENCH_WARMUP", "1") != "0"
+    warmup_sec = warmup_dedup(spark) if warm else None
 
     def gate_ok(s: dict) -> bool:
         return (s["load_p90"] <= cores * 1.25 + 2.0
@@ -386,6 +425,8 @@ def main_single(cores: int) -> dict:
         "value": dedup["wall_sec"],
         "unit": "sec",
         "timed_scope": "pipeline_only",
+        "protocol": "warm" if warm else "cold",
+        "warmup_sec": warmup_sec,
         "provision_sec": provision_sec,
         "queries": qsecs,
         "sf": SF,
@@ -636,6 +677,11 @@ def main_scaling() -> None:
                "accepted_small": accepted(r_small, n_small),
                "accepted_big": accepted(r_big, n_big),
                "cpuset_small": cpuset_small, "cpuset_big": cpuset_big,
+               # warm protocol (untimed full-pipeline warm-up before the
+               # timed run, see warmup_dedup): report sections fork on this
+               "protocol": r_small.get("protocol", "cold"),
+               "warmup_small": r_small.get("warmup_sec"),
+               "warmup_big": r_big.get("warmup_sec"),
                # both sides of a pair always share one checkpoint mode;
                # stamped so mixed-mode logs stay auditable (the cpu-floor
                # gate then naturally selects the lower-cpu mode's rows)
@@ -760,6 +806,13 @@ def main_scaling_report(log_path: str | None = None,
         # was unchanged across those campaigns; later commits were
         # report/doc/test-only)
         eng = r.get("engine") or "r5a"
+        # warm-protocol rows (untimed full-pipeline warm-up ran before the
+        # timed window — see warmup_dedup) measure a JIT/worker-pool-warmed
+        # session; their walls must never share estimator minima with cold
+        # rows, so the protocol forks the section key exactly like an
+        # engine revision does
+        if r.get("protocol", "cold") == "warm":
+            eng = f"{eng}+warm"
         last_engine = eng
         by_n.setdefault((n0, mode, ents, eng), []).append(r)
     if not by_n:
@@ -1017,6 +1070,18 @@ drop vs round 4 for a measurement-scope reason as well as an engine one;
 the ratio remains apples-to-apples because both sides always share one
 scope within a campaign.
 
+**Warm protocol (sections marked `+warm`):** each measured side first runs
+the COMPLETE pipeline once, untimed, on a 1/40-size warm-up corpus (JVM
+C2-compiled codegen, Python worker pool spawned + pandas imported, Arrow
+paths initialized), then the timed run — JMH / spark-sql-perf standard.
+A fresh ~10-minute benchmark process otherwise bills these one-time costs
+as a constant F no core count can divide (measured back-to-back at
+local[4]/60k: cold 327.7 s vs warm 252.8 s), whereas a multi-hour 100 TB
+job pays them once and amortizes them to nothing.  Every row stamps
+`warmup_sec` + `protocol`; warm and cold rows never share estimator
+minima (the protocol forks the section key), and the cold sections remain
+below as history.
+
 **Headline: scaling efficiency {head['eff']:.3f} at N=local[{headline_n}]
 vs 4N=local[{4 * headline_n}], {headline_mode} checkpointing,
 {headline_ents} entities, engine {headline_eng}** (gate >=
@@ -1159,6 +1224,8 @@ if __name__ == "__main__":
     elif "--measure-dedup-only" in sys.argv:
         cores = int(os.environ.get("BENCH_CORES", str(CPUS)))
         spark = _spark(cores)
+        warm = os.environ.get("BENCH_WARMUP", "1") != "0"
+        warmup_sec = warmup_dedup(spark) if warm else None
         ckpt = tempfile.mkdtemp(prefix="elspark_bench_")
         cpu0 = _tree_cpu_seconds()
         try:
@@ -1171,6 +1238,8 @@ if __name__ == "__main__":
         out["cpu_py"] = round(cpu1["python"] - cpu0["python"], 1)
         out.update(_jvm_counters(spark))
         out["cores"] = cores
+        out["warmup_sec"] = warmup_sec
+        out["protocol"] = "warm" if warm else "cold"
         print(json.dumps(out))
     else:
         print(json.dumps(main_single(CPUS)))

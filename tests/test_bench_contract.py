@@ -416,3 +416,45 @@ def test_scaling_report_zero_steal_window_counts_as_strict(tmp_path, capsys):
     # not the steal-less row
     assert rpt["estimator"] == "strict"
     assert rpt["value"] == round(700.0 / (4 * 207.0), 3)
+
+
+def test_scaling_report_partitions_by_protocol(tmp_path, capsys):
+    """Warm-protocol rows (untimed full-pipeline warm-up before the timed
+    window) measure a JIT/worker-pool-warmed session; their walls must
+    never share estimator minima with cold rows of the same engine — the
+    protocol forks the section key exactly like an engine revision, and
+    the headline follows the newest row's protocol."""
+    import json
+
+    base = {
+        "attempt": 0, "n": [2, 8], "entities": 60000, "engine": "abc1234",
+        "load_p90_small": 2.1, "load_p90_big": 8.0,
+        "steal_p90_small": 1.5, "steal_p90_big": 2.0,
+        "accepted_small": True, "accepted_big": True,
+        "cpuset_small": None, "cpuset_big": None,
+    }
+    rows = [
+        # cold row (pre-warmup protocol; no "protocol" field)
+        dict(base, wall_small=650.0, wall_big=200.0,
+             cpu_small=1350.0, cpu_big=1500.0),
+        # warm row, same engine: faster walls — must not pollute cold minima
+        dict(base, protocol="warm", warmup_small=61.0, warmup_big=28.0,
+             wall_small=560.0, wall_big=160.0,
+             cpu_small=1180.0, cpu_big=1300.0),
+    ]
+    log = tmp_path / "attempts_test.jsonl"
+    log.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    out = tmp_path / "BASELINE.md"
+    bench.main_scaling_report(log_path=str(log), out_path=str(out))
+    rpt = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(rpt["per_config"]) == {"2_async_60000_abc1234",
+                                      "2_async_60000_abc1234+warm"}
+    assert rpt["per_config"]["2_async_60000_abc1234"]["eff"] == round(
+        650.0 / (4 * 200.0), 3)
+    assert rpt["per_config"]["2_async_60000_abc1234+warm"]["eff"] == round(
+        560.0 / (4 * 160.0), 3)
+    # headline follows the newest row (warm), and the md names the protocol
+    assert rpt["engine"] == "abc1234+warm"
+    assert rpt["value"] == round(560.0 / (4 * 160.0), 3)
+    md = out.read_text()
+    assert "engine abc1234+warm" in md and "Warm protocol" in md
