@@ -707,7 +707,14 @@ def main_scaling() -> None:
             best_big = r_big
         if best_small and best_big:
             e_now = best_big["turns_per_sec"] / (4.0 * best_small["turns_per_sec"])
-            if e_now >= 0.8:
+            # A campaign's estimator minima get more robust with every
+            # attempt, so by default we run them all; BENCH_SCALING_MIN_ATTEMPTS
+            # keeps the old stop-at-first-clear-pair behavior available for
+            # quick probes (min_attempts=1 reproduces it).
+            min_attempts = int(
+                os.environ.get("BENCH_SCALING_MIN_ATTEMPTS", str(attempts))
+            )
+            if e_now >= 0.8 and attempt + 1 >= min_attempts:
                 break
     clean = best_small is not None and best_big is not None
     r_small = best_small or any_small
