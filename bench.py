@@ -1235,6 +1235,7 @@ if __name__ == "__main__":
         warmup_sec = warmup_dedup(spark) if warm else None
         ckpt = tempfile.mkdtemp(prefix="elspark_bench_")
         cpu0 = _tree_cpu_seconds()
+        jvm0 = _jvm_counters(spark)
         try:
             out = run_dedup_bench(spark, ckpt)
         finally:
@@ -1244,6 +1245,11 @@ if __name__ == "__main__":
         out["cpu_jvm"] = round(cpu1["jvm"] - cpu0["jvm"], 1)
         out["cpu_py"] = round(cpu1["python"] - cpu0["python"], 1)
         out.update(_jvm_counters(spark))
+        # deltas across the TIMED window only (cumulative counters include
+        # the warm-up): how much JIT/GC actually ran during measurement
+        for k in ("gc_sec", "jit_sec"):
+            if k in out and k in jvm0:
+                out[k + "_timed"] = round(out[k] - jvm0[k], 1)
         out["cores"] = cores
         out["warmup_sec"] = warmup_sec
         out["protocol"] = "warm" if warm else "cold"

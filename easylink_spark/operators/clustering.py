@@ -95,6 +95,12 @@ def _union_find_assignments(edges: DataFrame) -> DataFrame:
     either column — identical semantics to the star-forest extraction, and
     a pure function of the edge set (deterministic at any parallelism).
 
+    Rows with a NULL ``dst`` are ISOLATED-NODE DECLARATIONS: the ``src``
+    node joins the universe (and becomes its own singleton component unless
+    some real edge connects it).  Callers fuse singleton emission into this
+    one task instead of paying a distinct + anti-join + union of extra
+    Spark jobs after the fact (links_to_clusters' small-graph path).
+
     Only called on frontiers below ``small_graph_edges`` (default 500k
     pairs ≈ tens of MB of string keys), where log-n distributed rounds are
     pure fixed overhead: each large-star/small-star round costs 2+ shuffles
@@ -118,12 +124,18 @@ def _union_find_assignments(edges: DataFrame) -> DataFrame:
         s = pd.concat(srcs, ignore_index=True)
         d = pd.concat(dsts, ignore_index=True)
         # sort=True: codes are STRING RANKS, so the min-code fixpoint below
-        # is directly the min-string component representative
+        # is directly the min-string component representative.  NULL dst
+        # (isolated-node declaration) factorizes to code -1 and is excluded
+        # from the unique universe; the edge mask below drops those rows
+        # from propagation while their src stays a (singleton) node.
         code_of, uniq = pd.factorize(pd.concat([s, d], ignore_index=True),
                                      sort=True)
         n = len(uniq)
         m = len(s)
         src_c, dst_c = code_of[:m], code_of[m:]
+        edge_mask = (dst_c >= 0) & (src_c >= 0)
+        if not edge_mask.all():
+            src_c, dst_c = src_c[edge_mask], dst_c[edge_mask]
         # vectorized min-label propagation with pointer jumping
         # (Shiloach-Vishkin flavor): labels only decrease; at the fixpoint
         # parent[i] == min code in i's component.  O(log n) outer rounds,
@@ -149,6 +161,31 @@ def _union_find_assignments(edges: DataFrame) -> DataFrame:
     )
 
 
+def _resolve_small_edges(small_graph_edges: int | None) -> int:
+    """Resolve the hybrid-CC small-graph threshold (env
+    ``EASYLINK_CC_SMALL_EDGES``, default 500k).  The union-find finish
+    funnels the whole frontier through ONE task (repartition(1) + pandas
+    concat) — its memory bound is the frontier size — so an oversized env
+    override is clamped: a typo must not route a multi-GB edge set into a
+    single executor task."""
+    import os
+
+    if small_graph_edges is not None:
+        return small_graph_edges
+    small_graph_edges = int(os.environ.get("EASYLINK_CC_SMALL_EDGES", "500000"))
+    _CAP = 5_000_000
+    if small_graph_edges > _CAP:
+        import warnings
+
+        warnings.warn(
+            f"EASYLINK_CC_SMALL_EDGES={small_graph_edges} exceeds the "
+            f"single-task union-find memory bound; clamping to {_CAP}",
+            stacklevel=2,
+        )
+        small_graph_edges = _CAP
+    return small_graph_edges
+
+
 def connected_components(
     edges: DataFrame,
     src: str = SRC,
@@ -157,6 +194,7 @@ def connected_components(
     checkpoint_every: int = 1,
     small_graph_edges: int | None = None,
     stats: dict | None = None,
+    edge_count_hint: int | None = None,
 ) -> DataFrame:
     """Edge list (any orientation, string node ids) -> (node, component)
     where component = min node id in the component (total order = string
@@ -173,35 +211,46 @@ def connected_components(
     ``small_graph_edges=0`` to force pure star rounds (property tests
     compare the two paths).
 
+    ``edge_count_hint`` is an UPPER BOUND on the edge count the caller
+    already knows without a job (e.g. the links stage's checkpoint manifest
+    row count — parquet footer metadata, zero scans).  When the bound is
+    at or under ``small_graph_edges`` the count-and-checksum probe job and
+    the pre-dedup of the edge set are skipped entirely and the frontier
+    goes straight to the union-find finish (duplicates and orientation do
+    not change a union-find's result, and the bound caps the single task's
+    memory the same way the measured count did).  At bench scale that probe
+    job was ~1.5-2 s of per-run fixed cost that no core count divides; at
+    100 TB the hint is simply absent (no caller knows a small bound) and
+    the distributed star rounds run as before.
+
     Fixpoint detection: (edge count, xor-style hash checksum) stable across
     a large-star+small-star round.  Every round the result is
     localCheckpoint-ed to truncate lineage (SURVEY §4.2.2); on a real
     cluster with a checkpoint dir configured, ``DataFrame.checkpoint`` is
     the durable alternative.
     """
-    import os
-
-    if small_graph_edges is None:
-        small_graph_edges = int(os.environ.get("EASYLINK_CC_SMALL_EDGES", "500000"))
-        # The union-find finish funnels the whole frontier through ONE task
-        # (repartition(1) + pandas concat) — its memory bound is the frontier
-        # size.  Clamp an oversized env override so a typo can't route a
-        # multi-GB edge set into a single executor task.
-        _CAP = 5_000_000
-        if small_graph_edges > _CAP:
-            import warnings
-
-            warnings.warn(
-                f"EASYLINK_CC_SMALL_EDGES={small_graph_edges} exceeds the "
-                f"single-task union-find memory bound; clamping to {_CAP}",
-                stacklevel=2,
-            )
-            small_graph_edges = _CAP
-    cur = (
+    small_graph_edges = _resolve_small_edges(small_graph_edges)
+    cleaned = (
         edges.select(F.col(src).alias(SRC), F.col(dst).alias(DST))
         .filter(F.col(SRC).isNotNull() & F.col(DST).isNotNull())
         .filter(F.col(SRC) != F.col(DST))
-        .distinct()
+    )
+    if (
+        edge_count_hint is not None
+        and 0 < small_graph_edges
+        and edge_count_hint <= small_graph_edges
+    ):
+        if stats is not None:
+            stats.update({
+                "rounds": 0,
+                "initial_edges": None,  # never counted — that's the point
+                "edge_count_hint": edge_count_hint,
+                "final_edges": None,
+                "finish": "union_find",
+            })
+        return _union_find_assignments(cleaned)
+    cur = (
+        cleaned.distinct()
         # lazy: the signature() below materializes it — one job, not two
         .localCheckpoint(eager=False)
     )
@@ -257,6 +306,7 @@ def links_to_clusters(
     threshold: float = 0.5,
     validate: bool = True,
     emit_singletons: bool = True,
+    edge_count_hint: int | None = None,
 ) -> DataFrame:
     """Threshold links, run CC, emit clusters contract.
 
@@ -276,17 +326,42 @@ def links_to_clusters(
         F.col(PROBABILITY).alias("_p"),
     )
     edges = keyed.filter(F.col("_p") >= F.lit(threshold)).select(SRC, DST)
-    assign = connected_components(edges)
-    if emit_singletons:
-        nodes = (
-            keyed.select(F.col(SRC).alias("node"))
-            .union(keyed.select(F.col(DST).alias("node")))
-            .distinct()
+    # edge_count_hint: the caller's known row count of ``links`` (e.g. its
+    # checkpoint manifest, parquet footer metadata — no job) bounds the
+    # post-threshold edge count from above.
+    small = _resolve_small_edges(None)
+    if (
+        edge_count_hint is not None
+        and 0 < small
+        and edge_count_hint <= small
+        and emit_singletons
+    ):
+        # Small-graph fast path with singletons FUSED into the one-task
+        # union-find: every node of ``keyed`` (thresholded or not) rides
+        # along as an isolated-node declaration (NULL dst), so the kernel
+        # emits the complete assignment directly — no count-probe job and
+        # no distinct + anti-join + union jobs after the fact.  Row volume
+        # is bounded by 3x the hint (edges + both endpoints of every
+        # link), well inside the single-task memory bound
+        # _resolve_small_edges enforces.  Semantics identical to the
+        # general path below — the singleton property tests compare them.
+        null_dst = F.lit(None).cast("string").alias(DST)
+        declared = keyed.select(F.col(SRC), null_dst).union(
+            keyed.select(F.col(DST).alias(SRC), null_dst)
         )
-        singles = nodes.join(assign, "node", "left_anti").select(
-            "node", F.col("node").alias("component")
-        )
-        assign = assign.union(singles)
+        assign = _union_find_assignments(edges.union(declared))
+    else:
+        assign = connected_components(edges, edge_count_hint=edge_count_hint)
+        if emit_singletons:
+            nodes = (
+                keyed.select(F.col(SRC).alias("node"))
+                .union(keyed.select(F.col(DST).alias("node")))
+                .distinct()
+            )
+            singles = nodes.join(assign, "node", "left_anti").select(
+                "node", F.col("node").alias("component")
+            )
+            assign = assign.union(singles)
     ds, rid = split_record_key("node")
     out = assign.select(
         ds.alias(INPUT_RECORD_DATASET),

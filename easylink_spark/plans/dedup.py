@@ -172,9 +172,25 @@ def run_dedup(
         validator=validate_links,
     )
 
+    def build_clusters() -> DataFrame:
+        # The links checkpoint manifest (parquet footer metadata, no job)
+        # bounds the edge count from above; when it is already under the
+        # small-graph threshold, connected_components skips its
+        # count-and-checksum probe job and goes straight to the union-find
+        # finish.  Async mode may not have the manifest yet (the links
+        # write is still in flight) — then the hint is simply absent and
+        # the probe runs as before.
+        links_manifest = runner.manifests.get("links") or {}
+        return G.links_to_clusters(
+            links,
+            cfg.threshold,
+            validate=False,
+            edge_count_hint=links_manifest.get("rows"),
+        )
+
     clusters = runner.stage(
         "clusters",
-        lambda: G.links_to_clusters(links, cfg.threshold, validate=False),
+        build_clusters,
         inputs=["links"],
         validator=validate_clusters,
     )

@@ -175,6 +175,27 @@ def test_links_to_clusters_threshold_and_exclusion(spark):
     }
 
 
+def test_links_to_clusters_hint_path_identical(spark):
+    """The edge_count_hint fast path (fused singleton union-find, no probe
+    job) must produce exactly the general path's clusters — singletons from
+    sub-threshold links included."""
+    random.seed(11)
+    rows = []
+    for i in range(200):
+        a, b = random.randrange(60), random.randrange(60)
+        rows.append(("d", str(a), "d", str(b), random.random()))
+    links = _links(spark, rows)
+    general = G.links_to_clusters(links, threshold=0.5)
+    hinted = G.links_to_clusters(links, threshold=0.5, edge_count_hint=len(rows))
+    assert partition_of(hinted) == partition_of(general)
+    # emit_singletons=False with a hint: union-find over edges only
+    gen_ex = G.links_to_clusters(links, threshold=0.5, emit_singletons=False)
+    hint_ex = G.links_to_clusters(
+        links, threshold=0.5, emit_singletons=False, edge_count_hint=len(rows)
+    )
+    assert partition_of(hint_ex) == partition_of(gen_ex)
+
+
 def test_clusters_to_links_roundtrip(spark):
     clusters = spark.createDataFrame(
         [("d", "1", "c1"), ("d", "2", "c1"), ("d", "3", "c1"), ("e", "9", "c2")],
