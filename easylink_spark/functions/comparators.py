@@ -171,6 +171,13 @@ def jaro_winkler_udf(l: pd.Series, r: pd.Series) -> pd.Series:
     - the remaining rows are deduplicated to UNIQUE (l, r) value pairs
       before the O(len^2) inner loop, then scattered back — common values
       (boilerplate first turns, frequent names) are scored once per batch.
+
+    Marked non-deterministic below (it IS deterministic) so the optimizer
+    never duplicates the evaluation around a filter that references a
+    UDF-derived column: the two-phase scoring bound filter otherwise plans
+    TWO ArrowEvalPython nodes for the one call — every pair crosses the
+    Arrow boundary and pays the comparator twice (measured round 6; this
+    is the optimization guide's §4.4 pattern exactly).
     """
     lv = l.to_numpy(dtype=object)
     rv = r.to_numpy(dtype=object)
@@ -192,6 +199,10 @@ def jaro_winkler_udf(l: pd.Series, r: pd.Series) -> pd.Series:
         )
         out[todo] = uniq_scores[codes]
     return pd.Series(out)
+
+
+# single evaluation per pair — see the docstring's §4.4 note
+jaro_winkler_udf = jaro_winkler_udf.asNondeterministic()
 
 
 def jaro_winkler(l: Column, r: Column) -> Column:

@@ -289,15 +289,26 @@ def block_minhash_lsh(
         ])).alias("_bb"),
     ).select("_ds", "_id", "_rk", "_bb.band", "_bb.bucket")
 
-    # drop HOT buckets via a broadcast anti join — the hot set is tiny (or
-    # empty), unlike the full bucket-size table, whose broadcast build cost
-    # was a measured serial bottleneck
-    hot = (
-        banded.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("_bn"))
-        .filter(F.col("_bn") > hot_bucket_cap)
+    # Drop HOT buckets via a WINDOW count over the same (band, bucket)
+    # partitioning the self-join below needs (round-6 optimization): the
+    # former groupBy + broadcast-anti-join planned the banded subtree (and
+    # the whole minhash signature pipeline under it) THREE times — once for
+    # the bucket-size aggregation and once per self-join side, 52 Exchange
+    # nodes and zero reuse in the round-start plan.  The window introduces
+    # exactly ONE exchange, both join sides reuse it (ReusedExchange), and
+    # the join needs no further shuffle or sort because the window already
+    # partitioned AND sorted by the join key.  Guide §2.4 (remove shuffles /
+    # share one exchange between operations keyed the same way).
+    # Trade documented: rows of an over-cap bucket now cross the exchange
+    # once before being dropped (linear, spills gracefully) where the anti
+    # join dropped them pre-shuffle — the price of computing the signature
+    # pipeline once instead of three times, which dominates at every scale.
+    w_bucket = Window.partitionBy("band", "bucket")
+    ok = (
+        banded.withColumn("_bn", F.count(F.lit(1)).over(w_bucket))
+        .filter(F.col("_bn") <= hot_bucket_cap)
+        .drop("_bn")
     )
-    ok = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     if link_only:
         datasets = sorted(
             r["_ds"] for r in ok.select("_ds").distinct().collect()

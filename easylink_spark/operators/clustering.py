@@ -249,9 +249,33 @@ def connected_components(
                 "finish": "union_find",
             })
         return _union_find_assignments(cleaned)
+    # Round-6: the no-hint probe no longer pre-deduplicates.  Routing to
+    # the union-find finish needs only an UPPER BOUND on the edge count —
+    # duplicates and orientation do not change a union-find's result (the
+    # edge_count_hint argument) — and a plain count() is one narrow-scan
+    # job, where the former distinct().localCheckpoint() probe eagerly
+    # materialized a full shuffle (under AQE, localCheckpoint plans and
+    # runs every query stage immediately even with eager=False): measured
+    # 4.8 s -> ~1.2 s for a 100k-edge frontier at local[32].  A large graph
+    # pays one extra narrow pass before the distinct below — a few percent
+    # of a single star round's 4-5 shuffles.
+    if 0 < small_graph_edges:
+        n_edges_raw = cleaned.count()
+        if n_edges_raw <= small_graph_edges:
+            if stats is not None:
+                stats.update({
+                    "rounds": 0,
+                    # pre-dedup count: an upper bound, not the distinct size
+                    "initial_edges": n_edges_raw,
+                    "edge_count_hint": edge_count_hint,
+                    "final_edges": None,
+                    "finish": "union_find",
+                })
+            return _union_find_assignments(cleaned)
     cur = (
         cleaned.distinct()
-        # lazy: the signature() below materializes it — one job, not two
+        # lazy plan-side; under AQE the checkpoint still materializes at
+        # the signature() action below — one job either way
         .localCheckpoint(eager=False)
     )
 
@@ -267,20 +291,57 @@ def connected_components(
     initial_edges = prev_sig[0]
     rounds = 0
     at_fixpoint = False
-    for _ in range(max_iter):
-        if prev_sig[0] <= small_graph_edges:
-            break
-        cur = _small_star(_large_star(cur))
-        if checkpoint_every:
-            cur = cur.localCheckpoint(eager=False)
-        sig = signature(cur)
-        rounds += 1
-        if sig == prev_sig:
-            at_fixpoint = True
-            break
-        prev_sig = sig
-    else:
-        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    # Round-6, scale-adaptive round planning (guide §1.2 step 1, §2.4):
+    # each star round is 4-5 Exchanges, and with AQE every exchange is a
+    # separately materialized query stage with a driver re-planning barrier
+    # — for a SMALL frontier the round wall is almost entirely that fixed
+    # driver latency (measured ~1.6 s/round for a 5k-edge frontier at
+    # local[32]).  The frontier size is known exactly from the signature,
+    # so small rounds are planned with shuffle.partitions derived from the
+    # edge count and AQE off; large frontiers keep AQE (runtime coalescing
+    # + skew-join splitting matter there, and per-stage latency amortizes).
+    # Conf mutation is safe here: the round loop is driver-sequential, and
+    # the session confs are restored in the finally below.
+    conf = edges.sparkSession.conf
+    _SMALL_ROUND_EDGES = 4_000_000  # ~a few hundred MB of string pairs
+    _ROUND_EDGES_PER_PARTITION = 250_000
+    saved_conf = {
+        k: conf.get(k)
+        for k in ("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled")
+    }
+
+    def _plan_round(n_edges: int) -> None:
+        if n_edges <= _SMALL_ROUND_EDGES:
+            conf.set(
+                "spark.sql.shuffle.partitions",
+                str(max(1, n_edges // _ROUND_EDGES_PER_PARTITION)),
+            )
+            conf.set("spark.sql.adaptive.enabled", "false")
+        else:
+            for k, v in saved_conf.items():
+                conf.set(k, v)
+
+    try:
+        for _ in range(max_iter):
+            if prev_sig[0] <= small_graph_edges:
+                break
+            _plan_round(prev_sig[0])
+            cur = _small_star(_large_star(cur))
+            if checkpoint_every:
+                cur = cur.localCheckpoint(eager=False)
+            sig = signature(cur)
+            rounds += 1
+            if sig == prev_sig:
+                at_fixpoint = True
+                break
+            prev_sig = sig
+        else:
+            raise RuntimeError(
+                f"connected_components: no fixpoint in {max_iter} rounds"
+            )
+    finally:
+        for k, v in saved_conf.items():
+            conf.set(k, v)
 
     if stats is not None:
         stats.update({

