@@ -650,20 +650,28 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    queries = emb.filter("vec_id < 10").select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
+    # Round-6: each side's norm sqrt(v·v) is computed ONCE PER VECTOR in a
+    # projection below the cross join instead of once per (query, vector)
+    # pair (guide §1.2 "don't compute things you throw away"): the
+    # round-start plan re-ran both self-dot-products inside the join
+    # output, tripling the interpreted higher-order-function work per pair.
+    # Identical doubles — sqrt(dot(v,v)) over the same array is the same
+    # value wherever it is computed — so cosine and its rounding match the
+    # round-start output bit for bit.
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    joined = queries.crossJoin(emb).filter(F.col("query_id") != F.col("vec_id"))
-    cos = dot(F.col("qv"), F.col("v")) / (
-        F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("v"), F.col("v")))
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nv", F.sqrt(dot(F.col("v"), F.col("v"))))
+    queries = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
+    joined = queries.crossJoin(emb).filter(F.col("query_id") != F.col("vec_id"))
+    cos = dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         joined.withColumn("cos", cos)
@@ -876,37 +884,35 @@ WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {_MINHASH_RECALL_J}
 
 @q("minhash_lsh_recall", _MINHASH_RECALL_SQL)
 def minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 shape (identical result set, same oracle): the round-start
+    implementation brute-forced the truth side — exploded every doc's
+    shingle set and self-joined 'sh' on shingle equality (the dominant
+    6-8 s of the query) — then kept truth pairs present among the LSH
+    candidates via a left-semi join.  Set algebra:
+
+        old = {p : J(p) >= 0.9} ∩ cand       (truth ⋉ cand)
+        new = {p ∈ cand : J(p) >= 0.9}
+
+    — the same set, and J(p) is computed from the same distinct shingle
+    sets either way (|a∩b| / (|a|+|b|−|a∩b|), integer sizes, identical
+    doubles), so the rounded jaccard column matches row for row.  The new
+    plan attaches each doc's distinct shingle ARRAY to the candidate pairs
+    (two small hash joins) and evaluates array_intersect per candidate —
+    exact-verification work proportional to |cand|, not to the corpus'
+    shared-shingle pair count (guide §1.2: fix the algorithm first).  The
+    assertion semantics vs the brute-force DuckDB oracle are unchanged:
+    result equality still certifies 100% LSH recall on true >= 0.9 pairs,
+    because any true pair MISSED by the LSH would now be absent from the
+    Spark side exactly as it was absent from the old semi-join output."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    # truth: exact shingle-Jaccard >= J by brute force (oracle-scale only;
-    # the LSH path below is the production plan)
     toks = F.split(F.col("text"), " ")
     n = F.greatest(F.size(toks) - 2, F.lit(1))
-    sh = docs.select(
+    sharr = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(F.array_distinct(F.transform(
+        F.array_distinct(F.transform(
             F.sequence(F.lit(1), n),
             lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
-        ))).alias("s"),
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        sh.alias("a")
-        .join(sh.alias("b"),
-              (F.col("a.s") == F.col("b.s"))
-              & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("l"), F.col("b.doc_id").alias("r"))
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    truth = (
-        inter.join(sizes.select(F.col("doc_id").alias("l"),
-                                F.col("n").alias("na")), "l")
-        .join(sizes.select(F.col("doc_id").alias("r"),
-                           F.col("n").alias("nb")), "r")
-        .withColumn("jaccard_raw",
-                    F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
-        .filter(F.col("jaccard_raw") >= _MINHASH_RECALL_J)
-        .select(F.col("l").alias("left_id"), F.col("r").alias("right_id"),
-                F.round("jaccard_raw", 6).alias("jaccard"))
+        )).alias("shs"),
     )
     # engine LSH candidates, re-ordered numerically for the unordered match
     records = docs.select(
@@ -920,7 +926,21 @@ def minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col(f"`{K.LEFT_ID}`").cast("long"),
                    F.col(f"`{K.RIGHT_ID}`").cast("long")).alias("right_id"),
     )
-    return truth.join(cand, ["left_id", "right_id"], "left_semi")
+    inter = F.size(F.array_intersect(F.col("a.shs"), F.col("b.shs")))
+    verified = (
+        cand.join(sharr.alias("a"), cand["left_id"] == F.col("a.doc_id"))
+        .join(sharr.alias("b"), cand["right_id"] == F.col("b.doc_id"))
+        .withColumn("i", inter)
+        .withColumn(
+            "jaccard_raw",
+            F.col("i")
+            / (F.size(F.col("a.shs")) + F.size(F.col("b.shs")) - F.col("i")),
+        )
+        .filter(F.col("jaccard_raw") >= _MINHASH_RECALL_J)
+    )
+    return verified.select(
+        "left_id", "right_id", F.round("jaccard_raw", 6).alias("jaccard")
+    )
 
 
 @q(

@@ -66,6 +66,20 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
         # count()-only stage statistics come from parquet footers, not scans
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Always use the sort-based shuffle writer (round 6).  Below the
+        # default bypassMergeThreshold (200) Spark's bypass-merge writer
+        # opens ONE FILE PER REDUCE PARTITION PER MAP TASK; at the engine's
+        # 4x-cores shuffle width that is map_tasks x partitions file
+        # creates per shuffle — measured ~0.2 ms/block = 3.4 s of pure
+        # filesystem overhead for a 40 KB repartition at local[32]/128
+        # (guide §2.2: block count grows quadratically).  The sort writer
+        # emits one spill file per map task regardless of partition count
+        # (same 40k-row shuffle: 0.28 s; a 10M-row shuffle is equally fast).
+        # On a real cluster shuffle.partitions exceeds 200 and the bypass
+        # path never triggers, so this setting only removes the local /
+        # small-width pathology; it does not change cluster behavior.
+        .config("spark.shuffle.sort.bypassMergeThreshold",
+                os.environ.get("EASYLINK_BYPASS_MERGE_THRESHOLD", "1"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Comparator UDFs ship wide text batches over Arrow; keep batches
         # bounded so executor Python memory stays flat at scale.
