@@ -52,13 +52,21 @@ SRC, DST = "src", "dst"
 # ---------------------------------------------------------------------------
 # Connected components: large-star / small-star fixpoint (G1)
 # ---------------------------------------------------------------------------
-def _large_star(edges: DataFrame) -> DataFrame:
-    """For each node u: emit (v, min(N(u) ∪ {u})) for every neighbor v > u."""
+def _large_star(edges: DataFrame, dedup: bool = True) -> DataFrame:
+    """For each node u: emit (v, min(N(u) ∪ {u})) for every neighbor v > u.
+
+    ``dedup=False`` skips the trailing distinct (one exchange + its
+    planning).  Semantically safe always — ``_small_star``'s groupBy-min is
+    duplicate-insensitive and its own trailing distinct restores the set —
+    but duplicates inflate the intermediate row count by up to the node
+    degree, so callers only skip it on SMALL frontiers where the inflation
+    is bounded by the frontier size itself (the round-6 low-overhead round
+    mode); large dense components keep the intermediate dedup."""
     bi = edges.select(SRC, DST).union(
         edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
     )
     nbr_min = bi.groupBy(SRC).agg(F.min(DST).alias("_m"))
-    return (
+    out = (
         bi.filter(F.col(DST) > F.col(SRC))
         .join(nbr_min, SRC)
         .select(
@@ -66,8 +74,8 @@ def _large_star(edges: DataFrame) -> DataFrame:
             F.least(F.col("_m"), F.col(SRC)).alias(DST),
         )
         .filter(F.col(SRC) != F.col(DST))
-        .distinct()
     )
+    return out.distinct() if dedup else out
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
@@ -259,7 +267,9 @@ def connected_components(
     # 4.8 s -> ~1.2 s for a 100k-edge frontier at local[32].  A large graph
     # pays one extra narrow pass before the distinct below — a few percent
     # of a single star round's 4-5 shuffles.
-    if 0 < small_graph_edges:
+    if 0 < small_graph_edges and edge_count_hint is None:
+        # a present-but-large hint is authoritative: don't pay a count job
+        # to second-guess an upper bound the caller already knows
         n_edges_raw = cleaned.count()
         if n_edges_raw <= small_graph_edges:
             if stats is not None:
@@ -326,7 +336,8 @@ def connected_components(
             if prev_sig[0] <= small_graph_edges:
                 break
             _plan_round(prev_sig[0])
-            cur = _small_star(_large_star(cur))
+            small_round = prev_sig[0] <= _SMALL_ROUND_EDGES
+            cur = _small_star(_large_star(cur, dedup=not small_round))
             if checkpoint_every:
                 cur = cur.localCheckpoint(eager=False)
             sig = signature(cur)
@@ -389,8 +400,15 @@ def links_to_clusters(
     edges = keyed.filter(F.col("_p") >= F.lit(threshold)).select(SRC, DST)
     # edge_count_hint: the caller's known row count of ``links`` (e.g. its
     # checkpoint manifest, parquet footer metadata — no job) bounds the
-    # post-threshold edge count from above.
+    # post-threshold edge count from above.  Round-6: when no hint is
+    # known, ONE plain count of the thresholded edges takes its place —
+    # connected_components would run an equivalent probe job anyway, so
+    # this moves that job earlier at no extra cost and lets every caller
+    # (tutorial, person-linkage, streaming merge — the round-5 VERDICT's
+    # unplumbed call sites) reach the fused singleton union-find below.
     small = _resolve_small_edges(None)
+    if edge_count_hint is None:
+        edge_count_hint = edges.count()
     if (
         edge_count_hint is not None
         and 0 < small
