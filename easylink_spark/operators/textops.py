@@ -62,9 +62,17 @@ def simhash_signatures(
     """
     token_hash = token_hash or F.xxhash64
     toks = F.array_distinct(F.split(F.col(text_col), " "))
+    # Spread the CPU-heavy part across the cluster (round 6): the n_bits
+    # conditional sums run in the groupBy's MAP-SIDE partial aggregation,
+    # whose parallelism is the scan's file-split count — a byte-small
+    # corpus lands on 1-2 tasks and serializes ~n_bits x tokens condition
+    # evaluations (same rationale, and same fix, as
+    # blocking.minhash_signatures).  Work scales with rows x tokens, not
+    # bytes, so file-size-based partitioning under-parallelizes it.
+    par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     exploded = df.select(
         F.col(id_col).alias("_id"), F.explode(toks).alias("_t")
-    ).select("_id", token_hash(F.col("_t")).alias("_h"))
+    ).repartition(par, "_id").select("_id", token_hash(F.col("_t")).alias("_h"))
     sums = exploded.groupBy("_id").agg(*[
         F.sum(
             F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -127,12 +135,18 @@ def simhash_near_dup_pairs(
         ])).alias("_bp"),
     ).select("_id", "_sh", "_bp.band", "_bp.piece")
     if hot_piece_cap:
-        hot = (
-            banded.groupBy("band", "piece")
-            .agg(F.count(F.lit(1)).alias("_bn"))
-            .filter(F.col("_bn") > hot_piece_cap)
+        # window count over the join's own (band, piece) partitioning —
+        # one shared exchange instead of planning the banded/signature
+        # subtree three times (hot aggregation + both self-join sides);
+        # same restructure as blocking.block_minhash_lsh (round 6)
+        from pyspark.sql import Window
+
+        w_piece = Window.partitionBy("band", "piece")
+        banded = (
+            banded.withColumn("_bn", F.count(F.lit(1)).over(w_piece))
+            .filter(F.col("_bn") <= hot_piece_cap)
+            .drop("_bn")
         )
-        banded = banded.join(F.broadcast(hot), ["band", "piece"], "left_anti")
     pairs = (
         banded.alias("l")
         .join(
@@ -181,7 +195,15 @@ def _hyperplane(seed: int, dim: int) -> list[float]:
 
 def embedding_lsh_sign(vec: Column, dim: int, n_planes: int = 16,
                        seed: int = 7) -> Column:
-    """n_planes-bit sign signature of ``vec`` against fixed hyperplanes."""
+    """n_planes-bit sign signature of ``vec`` against fixed hyperplanes.
+
+    Round-6 note: an unrolled element_at(vec,i)*literal sum (64 terms x 64
+    planes in one projection) was tried to escape the interpreted
+    higher-order-function path and measured 10x SLOWER (5.4 s -> 52 s for
+    embedding_near_dup at sf0.1) — the 4096-term expression tree defeats
+    whole-stage codegen entirely and the deep interpreted Add chain costs
+    more than the lambda fold it replaced.  The aggregate/zip_with form
+    below is the measured-fastest JVM-only shape; kept."""
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
         plane = _hyperplane(seed * 1000 + p, dim)
@@ -221,10 +243,16 @@ def embedding_near_dup_pairs(
     ``hot_sig_cap`` (e.g. millions of zero/identical embeddings) is dropped
     via a broadcast anti join on the tiny hot set, bounding the self-join
     at quadratic-bucket inputs (exact dedup owns identical vectors)."""
+    # Spread the hyperplane-dot computation (n_tables x n_planes x dim
+    # interpreted lambda steps per row) across the cluster: a byte-small
+    # embeddings table is 1-2 file splits, which serialized the measured
+    # bulk of this operator's wall (round 6; same fix as
+    # blocking.minhash_signatures).
+    par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     base = df.select(
         F.col(id_col).alias("_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
-    )
+    ).repartition(par, "_id")
     tagged = base.select(
         "_id", "_v",
         F.explode(F.array(*[
@@ -236,12 +264,18 @@ def embedding_near_dup_pairs(
         ])).alias("_ts"),
     ).select("_id", "_v", "_ts.table", "_ts.sig")
     if hot_sig_cap:
-        hot = (
-            tagged.groupBy("table", "sig")
-            .agg(F.count(F.lit(1)).alias("_bn"))
-            .filter(F.col("_bn") > hot_sig_cap)
+        # window count over the join's own (table, sig) partitioning — one
+        # shared exchange instead of planning the tagged subtree (with its
+        # n_tables x n_planes hyperplane dots per row) three times; same
+        # restructure as blocking.block_minhash_lsh (round 6)
+        from pyspark.sql import Window
+
+        w_sig = Window.partitionBy("table", "sig")
+        tagged = (
+            tagged.withColumn("_bn", F.count(F.lit(1)).over(w_sig))
+            .filter(F.col("_bn") <= hot_sig_cap)
+            .drop("_bn")
         )
-        tagged = tagged.join(F.broadcast(hot), ["table", "sig"], "left_anti")
     cand = (
         tagged.alias("l")
         .join(

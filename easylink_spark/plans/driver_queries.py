@@ -544,10 +544,27 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from easylink_spark.functions.comparators import token_set_jaccard
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    j = token_set_jaccard(F.col("a.text"), F.col("b.text"))
+    # Round-6: tokenize ONCE PER ROW below the self-join instead of once
+    # per PAIR inside the comparator (guide §1.2 / §8: decide with
+    # per-record proxies, don't recompute per pair): the round-start plan
+    # evaluated array_distinct(split(text)) for both sides of every one of
+    # the ~2.6M within-source pairs — measured 47 s at sf0.1; with the
+    # distinct token arrays projected per row and carried through the join,
+    # each pair pays only the intersect/union.  Identical values:
+    # token_set_jaccard computes the same array_distinct(split(.)) arrays,
+    # the same integer sizes and the same double division; the null branch
+    # is preserved via the array columns (split(NULL) is NULL).
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+    )
+    la, lb = F.col("a.toks"), F.col("b.toks")
+    inter = F.size(F.array_intersect(la, lb))
+    union = F.size(F.array_union(la, lb))
+    j = F.when(la.isNull() | lb.isNull(), 0.0).otherwise(
+        F.when(union == 0, 1.0).otherwise(inter / union)
+    )
     return (
         docs.alias("a")
         .join(
