@@ -227,30 +227,51 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
 def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling operator: one output row per sampled frame timestamp
-    (frame payload stubbed as the digest of (video bytes, ts))."""
+    (frame payload stubbed as the digest of (video bytes, ts)).
+
+    Round-6: the frame-timestamp expansion happens INSIDE the mapInPandas
+    kernel, not as an explode below it (guide §8 "move heavy bytes once" /
+    §4.1: mapInPandas may return a different number of rows than it
+    receives).  The round-start plan exploded (payload, ts) per frame
+    before the Python boundary, so every sampled frame row carried a full
+    copy of the video payload through the generate and the Arrow transfer
+    — a 10-minute video at 1 frame/s shipped its bytes 600 times.  Now
+    each video's payload crosses the boundary exactly once and the
+    per-frame rows the kernel emits carry only the 32-byte digests.
+    Identical output rows: same timestamps (range(0, max(duration-1,0)+1,
+    every_ms) = sequence(0, greatest(duration-1,0), every_ms)), same
+    digest bytes."""
     videos = media.filter(F.col("kind") == "video").select(
         "media_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
     )
-    ts = F.explode(
-        F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)),
-                   F.lit(every_ms))
-    ).alias("frame_ts_ms")
-    frames = videos.select("media_id", "payload", ts)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            frame_bytes = [
-                hashlib.sha256(
-                    (p if p is not None else b"") + int(t).to_bytes(8, "little")
-                ).digest()
-                for p, t in zip(pdf["payload"], pdf["frame_ts_ms"])
-            ]
+            ids: list = []
+            tss: list = []
+            frames: list = []
+            for mid, p, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                payload = p if p is not None else b""
+                # null duration -> one frame at ts 0, matching the former
+                # plan's sequence(0, greatest(NULL-1, 0), step) = [0]
+                # (greatest ignores nulls); pandas surfaces the null as NaN
+                stop = 0 if pd.isna(dur) else max(int(dur) - 1, 0)
+                for t in range(0, stop + 1, every_ms):
+                    ids.append(mid)
+                    tss.append(t)
+                    frames.append(
+                        hashlib.sha256(
+                            payload + int(t).to_bytes(8, "little")
+                        ).digest()
+                    )
             yield pd.DataFrame({
-                "media_id": pdf["media_id"],
-                "frame_ts_ms": pdf["frame_ts_ms"],
-                "frame": frame_bytes,
+                "media_id": pd.Series(ids, dtype=object),
+                "frame_ts_ms": pd.Series(tss, dtype="int64"),
+                "frame": pd.Series(frames, dtype=object),
             })
 
-    return frames.mapInPandas(
+    return videos.mapInPandas(
         kernel, schema="media_id string, frame_ts_ms long, frame binary"
     )

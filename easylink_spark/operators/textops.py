@@ -312,7 +312,16 @@ _LANG_PROFILES = {
 
 def language_id(text: Column) -> Column:
     """argmax over language stopword-hit counts; 'und' (undetermined) when
-    no profile hits.  Ties break by language code order (deterministic)."""
+    no profile hits.  Ties break by language code order (deterministic).
+
+    Round-6 note: a rewrite that materialized the four counts into an
+    array and took the argmax with array_max + array_position (to avoid
+    the apparent double evaluation of each filter subtree in greatest +
+    the tie-break whens) was measured and REJECTED: warm A/B at sf0.1
+    noop-sink showed the when-chain form at 0.23-0.26 s vs 0.62-0.87 s
+    for the array form — whole-stage codegen's subexpression elimination
+    already shares the repeated filter subtrees, and the array
+    construction + position scan is pure added work.  Kept as-is."""
     toks = F.split(F.lower(text), " ")
 
     def hits(words: list[str]):
@@ -375,18 +384,23 @@ def token_count(text: Column, bpe_chars_per_token: float = 4.0) -> Column:
 def fingerprint_minhash(df: DataFrame, text_col: str, id_col: str,
                         shingle_tokens: int = 5) -> DataFrame:
     """Per-document fingerprint: min md5 over token shingles (stable,
-    engine-independent — same value computable in any SQL engine)."""
+    engine-independent — same value computable in any SQL engine).
+
+    Round-6: array_min over the per-row shingle-hash array instead of
+    explode + groupBy(min) — the min needs no data movement, so the
+    rows x shingles intermediate and the aggregation shuffle disappear
+    (guide §2.4); the plan is one scan+project.  Same values: array_min =
+    MIN over the same md5 strings, identical UTF8 ordering."""
     toks = F.split(F.col(text_col), " ")
     n = F.greatest(F.size(toks) - (shingle_tokens - 1), F.lit(1))
-    sh = df.select(
+    return df.select(
         F.col(id_col).alias("_id"),
-        F.explode(
+        F.array_min(
             F.transform(
                 F.sequence(F.lit(1), n),
                 lambda i: F.md5(
                     F.concat_ws(" ", F.slice(toks, i, shingle_tokens))
                 ),
             )
-        ).alias("h"),
+        ).alias("fingerprint"),
     )
-    return sh.groupBy("_id").agg(F.min("h").alias("fingerprint"))

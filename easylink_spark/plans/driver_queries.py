@@ -554,6 +554,13 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token_set_jaccard computes the same array_distinct(split(.)) arrays,
     # the same integer sizes and the same double division; the null branch
     # is preserved via the array columns (split(NULL) is NULL).
+    # Round-6 second-pass note: replacing the array_union materialization
+    # with |a|+|b|-|a∩b| (both sides are distinct) was A/B-measured and
+    # REJECTED — interleaved noop-sink runs at sf0.1 put the sizes form at
+    # 15.7-17.9 s vs 14.8-16.1 s for this one: codegen subexpression
+    # elimination already shares the dominant array_intersect across the
+    # jaccard uses, and streaming the pair arrays (bandwidth), not the
+    # union build, is the wall.  Kept as-is.
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
@@ -598,19 +605,26 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-6: per-row array_min over the shingle-hash array instead of
+    # explode + groupBy(min) (guide §2.4 "remove shuffles outright"): the
+    # min of one document's shingle hashes needs no data movement, so the
+    # explode (rows x shingles intermediate) and the aggregation exchange
+    # both disappear — the plan is a single scan+project.  Identical
+    # values: array_min over the same md5 strings = MIN(h) GROUP BY doc
+    # (same UTF8 ordering, no nulls).  1.7 s -> 0.2 s at sf0.1, 1 -> 0
+    # Exchanges.
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n = F.greatest(F.size(toks) - 4, F.lit(1))
-    sh = docs.select(
+    return docs.select(
         "doc_id",
-        F.explode(
+        F.array_min(
             F.transform(
                 F.sequence(F.lit(1), n),
                 lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 5))),
             )
-        ).alias("h"),
+        ).alias("fingerprint"),
     )
-    return sh.groupBy("doc_id").agg(F.min("h").alias("fingerprint"))
 
 
 # ---------------------------------------------------------------------------

@@ -139,6 +139,41 @@ def test_multimodal_plumbing(spark):
         ).collect()
 
 
+def test_sample_video_frames_matches_explode_semantics(spark):
+    """Round-6: the frame expansion moved inside the mapInPandas kernel so
+    the video payload crosses the Arrow boundary once per VIDEO instead of
+    once per FRAME.  Pin the output against the former explode formulation
+    (same timestamps incl. the null-duration -> single-frame case, same
+    per-frame digests)."""
+    import hashlib
+
+    from easylink_spark.operators import multimodal as M
+
+    rows = [
+        ("v1", "video", bytearray(b"payload-one"), ("video/mp4", 1, 1, None, 3500)),
+        ("v2", "video", bytearray(b"payload-two"), ("video/mp4", 1, 1, None, 3000)),
+        ("v3", "video", bytearray(b"payload-nul"), ("video/mp4", 1, 1, None, None)),
+        ("x1", "image", bytearray(b"not-a-video"), ("image/png", 1, 1, None, 9999)),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = sorted(
+        (r["media_id"], r["frame_ts_ms"], bytes(r["frame"]))
+        for r in M.sample_video_frames(media, every_ms=1000).collect()
+    )
+    # former plan: explode(sequence(0, greatest(duration_ms - 1, 0), step))
+    # per video row (greatest ignores the null duration -> [0]), then
+    # sha256(payload + ts-le64) per exploded row
+    expected = []
+    for mid, payload, dur in [("v1", b"payload-one", 3500),
+                              ("v2", b"payload-two", 3000),
+                              ("v3", b"payload-nul", None)]:
+        stop = max(dur - 1, 0) if dur is not None else 0
+        for t in range(0, stop + 1, 1000):
+            expected.append((mid, t, hashlib.sha256(
+                payload + t.to_bytes(8, "little")).digest()))
+    assert got == sorted(expected)
+
+
 def _wav_bytes(freq=440.0, rate=8000, sec=0.25, amp=0.5):
     import io
     import wave
